@@ -1,0 +1,127 @@
+"""Image losses & metrics (pure functions, NHWC).
+
+Functional rewrites of the reference's loss modules (losses.py):
+SSIM (losses.py:18-97), PSNR (losses.py:103-116), IoU-as-pixel-accuracy
+(losses.py:122-131), GDL (losses.py:137-151), Sharpness (losses.py:339-353),
+cross-entropy (runners use ``nn.CrossEntropyLoss``).  Value conventions
+(window size 11, sigma 1.5, C1/C2 constants, per-sample PSNR averaging)
+match the reference exactly so validation numbers are comparable.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
+    xs = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+    return g / jnp.sum(g)
+
+
+def _depthwise_blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable depthwise gaussian filter with torch 'conv same-pad' edges.
+
+    The reference applies a 2-D gaussian via grouped conv2d with zero padding
+    window//2 (losses.py:29-38); separable 1-D passes are mathematically
+    identical and map better onto the VPU.
+    """
+    g = _gaussian_window(window_size, sigma).astype(x.dtype)
+    pad = window_size // 2
+    # height pass
+    xh = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+    out = jnp.zeros_like(x)
+    for i in range(window_size):
+        out = out + g[i] * jax.lax.dynamic_slice_in_dim(xh, i, x.shape[1], axis=1)
+    # width pass
+    xw = jnp.pad(out, ((0, 0), (0, 0), (pad, pad), (0, 0)))
+    out2 = jnp.zeros_like(x)
+    for i in range(window_size):
+        out2 = out2 + g[i] * jax.lax.dynamic_slice_in_dim(xw, i, x.shape[2], axis=2)
+    return out2
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    size_average: bool = True,
+) -> jnp.ndarray:
+    """SSIM with the reference's constants (losses.py:28-48). NHWC in [0,1]."""
+    blur = partial(_depthwise_blur, window_size=window_size, sigma=sigma)
+    mu1 = blur(img1)
+    mu2 = blur(img2)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu1_mu2
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    if size_average:
+        return jnp.mean(ssim_map)
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def ssim_loss(img1: jnp.ndarray, img2: jnp.ndarray, **kw) -> jnp.ndarray:
+    """1 - ssim, the training form (losses.py:87)."""
+    return 1.0 - ssim(img1, img2, **kw)
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray, max_level: float = 1.0) -> jnp.ndarray:
+    """Per-sample PSNR averaged over batch (losses.py:108-116)."""
+    assert pred.shape == gt.shape, (pred.shape, gt.shape)
+    mse = jnp.mean(jnp.square(pred - gt), axis=tuple(range(1, pred.ndim)))
+    vals = 10.0 * jnp.log10(max_level * max_level / mse)
+    return jnp.mean(vals)
+
+
+def iou_accuracy(pred_ids: jnp.ndarray, gt_ids: jnp.ndarray) -> jnp.ndarray:
+    """The reference's 'IoU' is plain pixel accuracy (losses.py:126-131)."""
+    return jnp.mean((pred_ids == gt_ids).astype(jnp.float32))
+
+
+def gdl_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Gradient-difference loss, mean of |d/dx| + |d/dy| halves (losses.py:141-151)."""
+    pw = pred[:, :, 1:, :] - pred[:, :, :-1, :]
+    ph = pred[:, 1:, :, :] - pred[:, :-1, :, :]
+    gw = gt[:, :, 1:, :] - gt[:, :, :-1, :]
+    gh = gt[:, 1:, :, :] - gt[:, :-1, :, :]
+    return (jnp.mean(jnp.abs(pw - gw)) + jnp.mean(jnp.abs(ph - gh))) / 2.0
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def cross_entropy_loss(logits: jnp.ndarray, target_ids: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax CE over pixels; logits NHWC(classes last), ids NHW.
+
+    Equivalent to torch ``nn.CrossEntropyLoss`` on NCHW logits
+    (runners/InterTrainer.py:414).
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_ids[..., None].astype(jnp.int32), axis=-1)
+    return jnp.mean(nll)
+
+
+def sharpness_loss(pred: jnp.ndarray, gt: jnp.ndarray, window: int = 5) -> jnp.ndarray:
+    """Max/min-pool envelope L1 (losses.py:339-353)."""
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import max_pool
+    pad = window // 2
+    pads = ((pad, pad), (pad, pad))
+    def mp(x):
+        return max_pool(x, (window, window), stride=(window, window), padding=pads)
+    p_max, p_min = mp(pred), 1 - mp(1 - pred)
+    g_max, g_min = mp(gt), 1 - mp(1 - gt)
+    return (jnp.mean(jnp.abs(p_max - g_max)) + jnp.mean(jnp.abs(p_min - g_min))) / 2.0

@@ -1,0 +1,161 @@
+"""Shared Flax building blocks for the model zoo.
+
+Functional equivalents of the reference's conv blocks (nets/HRNet.py:15-85
+BasicBlock/Bottleneck, nets/refine_nets.py:14-24 ResnetBlock,
+nets/SubNets.py:14-30 SegEncoder) designed for TPU:
+
+- NHWC layout (XLA's native TPU conv layout; no transposes anywhere).
+- Explicit symmetric padding to match torch Conv2d ``padding=k//2``.
+- Optional ``dtype`` (bfloat16 by default in train configs) keeps MXU
+  throughput high while params stay fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def lrelu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+class Conv(nn.Module):
+    """torch-style Conv2d: symmetric int padding, optional dilation."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Optional[int] = None
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding if self.padding is not None else (self.kernel // 2) * self.dilation
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvT(nn.Module):
+    """torch ConvTranspose2d(k=4, s=2, p=1) equivalent: exact 2x upsample."""
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        # conv_transpose output with 'SAME' = in * stride, matching torch's
+        # (in-1)*2 - 2*1 + 4 = 2*in for k=4,s=2,p=1.
+        return nn.ConvTranspose(
+            self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+class BasicBlock(nn.Module):
+    """2x conv3x3 residual block, LeakyReLU(0.2), no BN (nets/HRNet.py:15-44)."""
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Optional[Dtype] = None
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        out = Conv(self.features, 3, self.stride, use_bias=False, dtype=self.dtype)(x)
+        out = lrelu(out)
+        out = Conv(self.features, 3, 1, use_bias=False, dtype=self.dtype)(out)
+        if self.downsample or self.stride != 1 or x.shape[-1] != self.features:
+            residual = Conv(
+                self.features, 1, self.stride, padding=0, use_bias=False, dtype=self.dtype
+            )(x)
+        return lrelu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 (x4) residual block (nets/HRNet.py:47-85)."""
+    features: int
+    stride: int = 1
+    dtype: Optional[Dtype] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        planes = self.features
+        out_ch = planes * self.expansion
+        residual = x
+        out = Conv(planes, 1, 1, padding=0, use_bias=False, dtype=self.dtype)(x)
+        out = lrelu(out)
+        out = Conv(planes, 3, self.stride, use_bias=False, dtype=self.dtype)(out)
+        out = lrelu(out)
+        out = Conv(out_ch, 1, 1, padding=0, use_bias=False, dtype=self.dtype)(out)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = Conv(
+                out_ch, 1, self.stride, padding=0, use_bias=False, dtype=self.dtype
+            )(x)
+        return lrelu(out + residual)
+
+
+class ResnetBlock(nn.Module):
+    """conv-lrelu-conv + input (nets/refine_nets.py:14-24)."""
+    features: int
+    kernel: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = Conv(self.features, self.kernel, dtype=self.dtype)(x)
+        out = lrelu(out)
+        out = Conv(self.features, self.kernel, dtype=self.dtype)(out)
+        return out + x
+
+
+class SegEncoder(nn.Module):
+    """20-class one-hot -> 4-ch embedding (nets/HRNet.py:358-364)."""
+    encode_dim: int = 4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, seg):
+        x = Conv(32, 3, dtype=self.dtype)(seg)
+        x = nn.elu(x)
+        x = Conv(32, 3, dtype=self.dtype)(x)
+        x = nn.elu(x)
+        return Conv(self.encode_dim, 3, dtype=self.dtype)(x)
+
+
+class ConvLReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return lrelu(
+            Conv(
+                self.features, self.kernel, self.stride,
+                dilation=self.dilation, use_bias=self.use_bias, dtype=self.dtype,
+            )(x)
+        )

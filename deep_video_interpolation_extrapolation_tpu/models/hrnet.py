@@ -1,0 +1,390 @@
+"""HRNet-family coarse generators (Flax, NHWC).
+
+TPU-native re-design of the reference coarse models:
+- ``HRNet`` (nets/HRNet.py:339-601): seg-encoder + stem + Bottleneck layer1 +
+  2-branch then 3-branch (optionally 4-branch with ``highres_large``)
+  high-resolution modules with fuse layers, upsample-concat, rgb/seg heads.
+  BatchNorm is deliberately absent, matching the reference (commented out
+  throughout nets/HRNet.py).
+- ``VAEHRNet`` (nets/HRNet.py:702-1061): HRNet conditioned on a conv-VAE
+  latent decoded to a 32-ch feature plane.
+- ``InpaintUnet`` (nets/HRNet.py:618-699): dilated-bottleneck U-Net that
+  inpaints masked regions and composites with the coarse rgb.
+
+Differences from the reference (intentional, documented):
+- NHWC + channels-last heads (TPU conv layout).
+- VAE latent dims generalize to input sizes other than 128x128: the
+  reference hard-codes 1024 = 16*8*8 (nets/HRNet.py:762-763,974-981); we use
+  16*(H/16)*(W/16) so the same module works at 128x256 and 1024x512.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deep_video_interpolation_extrapolation_tpu.models.blocks import (
+    BasicBlock,
+    Bottleneck,
+    Conv,
+    ConvT,
+    ResnetBlock,
+    SegEncoder,
+    lrelu,
+)
+from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+    interpolate_bilinear,
+)
+
+Dtype = Any
+
+# stage configs (nets/HRNet.py:239-330)
+STAGE2_CFG = dict(num_branches=2, num_blocks=(4, 4), num_channels=(64, 128))
+STAGE3_CFG = dict(num_branches=3, num_blocks=(4, 4, 4), num_channels=(64, 128, 256))
+STAGE4_CFG = dict(num_branches=4, num_blocks=(4, 4, 4, 4), num_channels=(64, 128, 256, 512))
+
+
+class HighResolutionModule(nn.Module):
+    """Parallel multi-resolution branches + full fuse (nets/HRNet.py:88-227)."""
+    num_branches: int
+    num_blocks: Tuple[int, ...]
+    num_channels: Tuple[int, ...]
+    multi_scale_output: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray]):
+        ys = []
+        for i in range(self.num_branches):
+            h = xs[i]
+            for _ in range(self.num_blocks[i]):
+                h = BasicBlock(self.num_channels[i], dtype=self.dtype)(h)
+            ys.append(h)
+        if self.num_branches == 1:
+            return ys
+
+        outs = []
+        n_out = self.num_branches if self.multi_scale_output else 1
+        for i in range(n_out):
+            y = None
+            for j in range(self.num_branches):
+                if j == i:
+                    t = ys[j]
+                elif j > i:
+                    t = Conv(
+                        self.num_channels[i], 1, padding=0, use_bias=False,
+                        dtype=self.dtype, name=f"fuse_{i}_{j}",
+                    )(ys[j])
+                    t = interpolate_bilinear(
+                        t, size=ys[i].shape[1:3], align_corners=False
+                    )
+                else:  # j < i: chain of stride-2 3x3 convs
+                    t = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        out_ch = self.num_channels[i] if last else self.num_channels[j]
+                        t = Conv(
+                            out_ch, 3, stride=2, use_bias=False,
+                            dtype=self.dtype, name=f"fuse_{i}_{j}_{k}",
+                        )(t)
+                        if not last:
+                            t = lrelu(t)
+                y = t if y is None else y + t
+            outs.append(lrelu(y))
+        return outs
+
+
+class _Transition(nn.Module):
+    """Branch-count/channel transition (nets/HRNet.py:444-477)."""
+    pre_channels: Tuple[int, ...]
+    cur_channels: Tuple[int, ...]
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray]):
+        outs = []
+        for i, c in enumerate(self.cur_channels):
+            if i < len(self.pre_channels):
+                if self.pre_channels[i] != c:
+                    outs.append(
+                        lrelu(Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                   name=f"trans_{i}")(xs[i]))
+                    )
+                else:
+                    outs.append(xs[i])
+            else:
+                t = xs[-1]
+                for j in range(i + 1 - len(self.pre_channels)):
+                    out_ch = c if j == i - len(self.pre_channels) else self.pre_channels[-1]
+                    t = lrelu(Conv(out_ch, 3, stride=2, use_bias=False,
+                                   dtype=self.dtype, name=f"trans_{i}_{j}")(t))
+                outs.append(t)
+        return outs
+
+
+class _HRBackbone(nn.Module):
+    """Stem + layer1 + stage2/3(/4) + upsample-concat (shared by HRNet/VAEHRNet)."""
+    highres_large: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # stem (nets/HRNet.py:367-373)
+        x = lrelu(Conv(64, 3, dtype=self.dtype, name="conv1")(x))
+        x = lrelu(Conv(64, 3, dtype=self.dtype, name="conv2")(x))
+        # layer1: 4 Bottlenecks 64->256 (nets/HRNet.py:375)
+        for i in range(4):
+            x = Bottleneck(64, dtype=self.dtype, name=f"layer1_{i}")(x)
+
+        xs = _Transition((256,), STAGE2_CFG["num_channels"], dtype=self.dtype,
+                         name="transition1")([x])
+        xs = HighResolutionModule(
+            dtype=self.dtype, name="stage2", **STAGE2_CFG)(xs)
+
+        xs = _Transition(STAGE2_CFG["num_channels"], STAGE3_CFG["num_channels"],
+                         dtype=self.dtype, name="transition2")(xs)
+        xs = HighResolutionModule(
+            dtype=self.dtype, name="stage3", **STAGE3_CFG)(xs)
+
+        if self.highres_large:
+            xs = _Transition(STAGE3_CFG["num_channels"], STAGE4_CFG["num_channels"],
+                             dtype=self.dtype, name="transition3")(xs)
+            xs = HighResolutionModule(
+                dtype=self.dtype, name="stage4", **STAGE4_CFG)(xs)
+
+        # upsample-concat (nets/HRNet.py:575-582)
+        size = xs[0].shape[1:3]
+        ups = [xs[0]] + [
+            interpolate_bilinear(t, size=size, align_corners=False) for t in xs[1:]
+        ]
+        return jnp.concatenate(ups, axis=-1)
+
+
+class _Head(nn.Module):
+    """1x1 conv + lrelu + 3x3 conv head (nets/HRNet.py:410-442)."""
+    out_dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = lrelu(Conv(x.shape[-1], 1, padding=0, dtype=self.dtype)(x))
+        return Conv(self.out_dim, 3, dtype=self.dtype)(h)
+
+
+def _encode_inputs(
+    rgb: jnp.ndarray, seg: jnp.ndarray, seg_encoder: nn.Module, n_classes: int = 20
+) -> jnp.ndarray:
+    """Per-frame seg encoding + concat with rgb (nets/HRNet.py:524-539)."""
+    n_frames = seg.shape[-1] // n_classes
+    encoded = [
+        seg_encoder(seg[..., i * n_classes:(i + 1) * n_classes])
+        for i in range(n_frames)
+    ]
+    return jnp.concatenate([rgb] + encoded, axis=-1)
+
+
+def _extra_mask_from_seg(
+    rgb_out: jnp.ndarray, seg_out: jnp.ndarray, last_input_seg: jnp.ndarray,
+    num_pred_once: int, fg_threshold: int = 11,
+) -> jnp.ndarray:
+    """Occlusion mask derived from segmentation (nets/HRNet.py:590-596):
+    mask=0 (to inpaint) where the input's foreground becomes predicted
+    background; 1 elsewhere."""
+    seg_input_ids = jnp.argmax(last_input_seg, axis=-1)
+    fg_input = (seg_input_ids >= fg_threshold).astype(rgb_out.dtype)
+    masks = []
+    for i in range(num_pred_once):
+        ids = jnp.argmax(
+            jax.lax.stop_gradient(seg_out[..., 20 * i:20 * i + 20]), axis=-1
+        )
+        bg_pred = (ids < fg_threshold).astype(rgb_out.dtype)
+        masks.append(1.0 - fg_input * bg_pred)
+    return jnp.stack(masks, axis=-1)
+
+
+class HRNet(nn.Module):
+    """Coarse generator (nets/HRNet.py:339-601).
+
+    Call: ``(rgb, seg)`` with rgb (B,H,W,3*n_frames), seg one-hot
+    (B,H,W,20*n_frames).  Returns (rgb_out, seg_out) or
+    (rgb_out, seg_out, mask_out) in extra+inpaint mode.
+    """
+    syn_type: str = "inter"
+    num_pred_once: int = 1
+    inpaint: bool = False
+    inpaint_mask: bool = False
+    highres_large: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, rgb, seg, train: bool = True):
+        seg_enc = SegEncoder(dtype=self.dtype, name="seg_encoder")
+        x = _encode_inputs(rgb, seg, seg_enc)
+        feat = _HRBackbone(self.highres_large, dtype=self.dtype, name="backbone")(x)
+
+        if self.syn_type == "extra":
+            rgb_dim = (4 if self.inpaint_mask else 3) * self.num_pred_once
+            seg_dim = 20 * self.num_pred_once
+        else:
+            rgb_dim = 3
+            seg_dim = 20
+        rgb_out = _Head(rgb_dim, dtype=self.dtype, name="rgb_layer")(feat)
+        seg_out = _Head(seg_dim, dtype=self.dtype, name="seg_layer")(feat)
+
+        mask_out = None
+        if self.syn_type == "extra" and self.inpaint and self.inpaint_mask:
+            mask_out = nn.sigmoid(rgb_out[..., 3 * self.num_pred_once:])
+        if self.syn_type == "extra":
+            rgb_out = rgb_out[..., :3 * self.num_pred_once]
+        if self.syn_type == "extra" and self.inpaint and not self.inpaint_mask:
+            mask_out = _extra_mask_from_seg(
+                rgb_out, seg_out, seg[..., -20:], self.num_pred_once
+            )
+        if self.syn_type == "extra" and self.inpaint:
+            return rgb_out, seg_out, mask_out
+        return rgb_out, seg_out
+
+
+class InpaintUnet(nn.Module):
+    """Mask-region inpainting U-Net + composite (nets/HRNet.py:618-699).
+
+    Call: ``(rgb, mask, seg)`` — rgb (B,H,W,3*P), mask (B,H,W,P) with 1 =
+    keep coarse, 0 = inpaint; seg (B,H,W,20*P).
+    """
+    num_pred_once: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, rgb, mask, seg, train: bool = True):
+        p = self.num_pred_once
+        x = jnp.concatenate([rgb, mask, seg], axis=-1)
+        h0 = lrelu(Conv(128, 5, dtype=self.dtype)(x))
+        h0 = lrelu(Conv(64, 5, dtype=self.dtype)(h0))
+
+        e1 = lrelu(Conv(128, 3, stride=2, dtype=self.dtype)(h0))
+        e1 = ResnetBlock(128, dtype=self.dtype)(e1)
+        e2 = lrelu(Conv(256, 3, stride=2, dtype=self.dtype)(e1))
+        e2 = ResnetBlock(256, dtype=self.dtype)(e2)
+
+        d = e2
+        for rate in (1, 2, 4, 8):
+            d = Conv(256, 3, dilation=rate, dtype=self.dtype)(d)
+            if rate != 8:
+                d = lrelu(d)
+
+        d2 = ResnetBlock(256, dtype=self.dtype)(e2 + d)
+        d2 = interpolate_bilinear(d2, scale_factor=2.0, align_corners=True)
+        d2 = Conv(128, 3, dtype=self.dtype)(lrelu(d2))
+
+        d1 = ResnetBlock(128, dtype=self.dtype)(d2 + e1)
+        d1 = interpolate_bilinear(d1, scale_factor=2.0, align_corners=True)
+        d1 = Conv(64, 3, dtype=self.dtype)(lrelu(d1))
+
+        out = lrelu(d1 + h0)
+        out = lrelu(Conv(64, 3, dtype=self.dtype)(out))
+        out = Conv(3 * p, 3, dtype=self.dtype)(out)
+
+        # composite: inpainted where mask==0, coarse rgb where mask==1
+        # (nets/HRNet.py:690-699)
+        finals = []
+        for j in range(p):
+            m = mask[..., j:j + 1]
+            finals.append(out[..., 3 * j:3 * j + 3] * (1 - m) + rgb[..., 3 * j:3 * j + 3] * m)
+        return jnp.concatenate(finals, axis=-1)
+
+
+class VAEHRNet(nn.Module):
+    """HRNet + conditional VAE latent (nets/HRNet.py:702-1061).
+
+    Train: encodes (input rgb+seg, gt rgb, gt seg) to (mu, logvar), samples z
+    with the 'noise' rng.  Eval: z ~ N(0, I).  Returns
+    (rgb_out, seg_out, mu, logvar) (mu/logvar None at eval).
+    """
+    syn_type: str = "inter"
+    num_pred_once: int = 1
+    inpaint: bool = False
+    inpaint_mask: bool = False
+    highres_large: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True):
+        b, h, w, _ = rgb.shape
+        zh, zw = h // 16, w // 16
+        latent_dim = 16 * zh * zw
+
+        mu = logvar = None
+        if train:
+            assert gt_rgb is not None and gt_seg is not None
+            vae_in = jnp.concatenate([rgb, seg, gt_rgb, gt_seg], axis=-1)
+            e = _VAEEncoder(dtype=self.dtype, name="vae_encoder")(vae_in, train=train)
+            e = e.reshape(b, -1)
+            mu = nn.Dense(latent_dim, dtype=self.dtype, name="mu_fc")(e)
+            logvar = nn.Dense(latent_dim, dtype=self.dtype, name="logvar_fc")(e)
+            eps = jax.random.normal(self.make_rng("noise"), mu.shape, dtype=mu.dtype)
+            z = mu + eps * jnp.exp(0.5 * logvar)
+        else:
+            z = jax.random.normal(self.make_rng("noise"), (b, latent_dim), dtype=rgb.dtype)
+
+        z = z.reshape(b, zh, zw, 16)
+        vae_feature = _VAEDecoder(dtype=self.dtype, name="vae_decoder")(z, train=train)
+
+        seg_enc = SegEncoder(dtype=self.dtype, name="seg_encoder")
+        x = _encode_inputs(rgb, seg, seg_enc)
+        x = jnp.concatenate([vae_feature, x], axis=-1)
+        feat = _HRBackbone(self.highres_large, dtype=self.dtype, name="backbone")(x)
+
+        if self.syn_type == "extra":
+            rgb_dim = (4 if self.inpaint_mask else 3) * self.num_pred_once
+            seg_dim = 20 * self.num_pred_once
+        else:
+            rgb_dim = 3
+            seg_dim = 20
+        rgb_out = _Head(rgb_dim, dtype=self.dtype, name="rgb_layer")(feat)
+        seg_out = _Head(seg_dim, dtype=self.dtype, name="seg_layer")(feat)
+        if self.syn_type == "extra":
+            rgb_out = rgb_out[..., :3 * self.num_pred_once]
+        return rgb_out, seg_out, mu, logvar
+
+
+class _VAEEncoder(nn.Module):
+    """Strided conv encoder w/ BatchNorm (nets/HRNet.py:722-761)."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        def bn(h):
+            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+
+        x = lrelu(Conv(32, 3, dtype=self.dtype)(x))
+        x = lrelu(bn(Conv(32, 3, dtype=self.dtype)(x)))
+        # 3 downsamples, each stride-2 conv + 3x3 conv (nets/HRNet.py:729-749)
+        for ch in (32, 64, 128):
+            x = lrelu(bn(Conv(ch, 3, stride=2, dtype=self.dtype)(x)))
+            x = lrelu(bn(Conv(ch, 3, dtype=self.dtype)(x)))
+        # final downsample + channel squeeze to 16 (nets/HRNet.py:750-760)
+        x = lrelu(bn(Conv(128, 3, stride=2, dtype=self.dtype)(x)))
+        x = lrelu(bn(Conv(64, 3, dtype=self.dtype)(x)))
+        x = lrelu(bn(Conv(32, 3, dtype=self.dtype)(x)))
+        return Conv(16, 3, dtype=self.dtype)(x)
+
+
+class _VAEDecoder(nn.Module):
+    """ConvTranspose decoder w/ BatchNorm (nets/HRNet.py:764-791)."""
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, z, train: bool = True):
+        def bn(h):
+            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+
+        x = z
+        for i in range(4):
+            x = lrelu(bn(ConvT(32, dtype=self.dtype)(x)))
+            x = Conv(32, 3, dtype=self.dtype)(x)
+            if i != 3:  # final conv has no BN/activation (nets/HRNet.py:790)
+                x = lrelu(bn(x))
+        return x

@@ -1,0 +1,126 @@
+"""Bilinear/nearest resize with PyTorch-compatible coordinate conventions.
+
+The reference mixes two bilinear conventions:
+
+- ``align_corners=True`` — explicit in SRN-style refiners and losses
+  (reference nets/refine_nets.py:110-112, runners/InterTrainer.py:418-419);
+- ``align_corners=False`` (the torch default) — HRNet fuse layers / output
+  upsampling (reference nets/HRNet.py:219-222,577-580).
+
+``jax.image.resize(method="bilinear")`` implements the half-pixel-center
+convention, which is exactly ``align_corners=False``; the ``True`` variant is
+implemented here as two separable 1-D weighted gathers (XLA lowers these to
+efficient TPU gathers, and the separable form keeps the arithmetic on the
+VPU instead of scalar code).
+
+All tensors are NHWC.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def _resize_axis_align_corners(x: jnp.ndarray, axis: int, out_size: int) -> jnp.ndarray:
+    """1-D bilinear resize along ``axis`` with align_corners=True."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    if out_size == 1:
+        return jnp.take(x, jnp.array([0]), axis=axis)
+    scale = (in_size - 1) / (out_size - 1)
+    coords = jnp.arange(out_size, dtype=jnp.float32) * scale
+    lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    frac = coords - lo.astype(jnp.float32)
+    x_lo = jnp.take(x, lo, axis=axis)
+    x_hi = jnp.take(x, hi, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    frac = frac.reshape(shape).astype(x.dtype)
+    return x_lo * (1 - frac) + x_hi * frac
+
+
+def interpolate_bilinear(
+    x: jnp.ndarray,
+    size: Optional[Tuple[int, int]] = None,
+    scale_factor: Optional[Union[float, Tuple[float, float]]] = None,
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """NHWC bilinear resize matching ``torch.nn.functional.interpolate``."""
+    assert x.ndim == 4, x.shape
+    if size is None:
+        assert scale_factor is not None
+        if not isinstance(scale_factor, (tuple, list)):
+            scale_factor = (scale_factor, scale_factor)
+        size = (
+            int(x.shape[1] * scale_factor[0]),
+            int(x.shape[2] * scale_factor[1]),
+        )
+    h, w = size
+    if (h, w) == x.shape[1:3]:
+        return x
+    if align_corners:
+        out = _resize_axis_align_corners(x, 1, h)
+        out = _resize_axis_align_corners(out, 2, w)
+        return out
+    return jax.image.resize(
+        x, (x.shape[0], h, w, x.shape[3]), method="bilinear"
+    ).astype(x.dtype)
+
+
+def interpolate_nearest(
+    x: jnp.ndarray,
+    size: Optional[Tuple[int, int]] = None,
+    scale_factor: Optional[float] = None,
+) -> jnp.ndarray:
+    assert x.ndim == 4, x.shape
+    if size is None:
+        size = (int(x.shape[1] * scale_factor), int(x.shape[2] * scale_factor))
+    return jax.image.resize(
+        x, (x.shape[0], size[0], size[1], x.shape[3]), method="nearest"
+    )
+
+
+def avg_pool(
+    x: jnp.ndarray,
+    window: Tuple[int, int],
+    stride: Optional[Tuple[int, int]] = None,
+    padding: Union[str, Sequence[Tuple[int, int]]] = "VALID",
+    count_include_pad: bool = True,
+) -> jnp.ndarray:
+    """NHWC average pool (torch ``F.avg_pool2d`` semantics)."""
+    stride = stride or window
+    dims = (1, window[0], window[1], 1)
+    strides = (1, stride[0], stride[1], 1)
+    if isinstance(padding, str):
+        pads = padding
+    else:
+        pads = ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0))
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
+    if count_include_pad or isinstance(padding, str):
+        return summed / (window[0] * window[1])
+    ones = jnp.ones(x.shape[:3] + (1,), dtype=x.dtype)
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, pads)
+    return summed / counts
+
+
+def max_pool(
+    x: jnp.ndarray,
+    window: Tuple[int, int],
+    stride: Optional[Tuple[int, int]] = None,
+    padding: Union[str, Sequence[Tuple[int, int]]] = "VALID",
+) -> jnp.ndarray:
+    stride = stride or window
+    dims = (1, window[0], window[1], 1)
+    strides = (1, stride[0], stride[1], 1)
+    if isinstance(padding, str):
+        pads = padding
+    else:
+        pads = ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0))
+    init = jnp.array(-jnp.inf, x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(x, init, jax.lax.max, dims, strides, pads)

@@ -1,0 +1,110 @@
+"""Flow backward-warp (the ``grid_sample`` core of the reference).
+
+Reference semantics (utils/net_utils.py:89-114 ``FlowWrapper`` and
+nets/OpticalUnet.py:123-139): a base grid of normalized coordinates in
+[-1, 1] is built with ``linspace`` (align_corners=True spacing), the flow is
+*subtracted* (``grid = base - flow``), and the frame is sampled with
+``F.grid_sample`` (torch 1.x: align_corners=True, zero padding).
+
+TPU-first design: sampling is a bilinear gather.  The XLA path below flattens
+(H, W) and issues four clipped ``take``s per batch element — XLA lowers this
+to vectorized dynamic-gathers that stay in VMEM for typical tile sizes.  A
+fused Pallas kernel (ops/pallas_warp.py) handles the hot path at full
+resolution; ``backward_warp`` picks the implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def make_base_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(H, W, 2) grid of normalized (x, y) coords in [-1, 1], linspace spacing.
+
+    Matches the base grid of reference utils/net_utils.py:99-103 (ger of
+    linspace vectors; channel 0 = x varies along W, channel 1 = y along H).
+    """
+    xs = jnp.linspace(-1.0, 1.0, w, dtype=dtype) if w > 1 else jnp.array([-1.0], dtype)
+    ys = jnp.linspace(-1.0, 1.0, h, dtype=dtype) if h > 1 else jnp.array([-1.0], dtype)
+    gx = jnp.broadcast_to(xs[None, :], (h, w))
+    gy = jnp.broadcast_to(ys[:, None], (h, w))
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of NHWC ``x`` at normalized ``grid`` (B, Hg, Wg, 2).
+
+    grid[..., 0] is x in [-1, 1] over width; grid[..., 1] is y over height.
+    align_corners=True mapping, zero padding outside — torch-1.x
+    ``F.grid_sample`` defaults (the reference's pinned version).
+    """
+    b, h, w, c = x.shape
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    gx = grid[..., 0].astype(compute_dtype)
+    gy = grid[..., 1].astype(compute_dtype)
+    # normalized -> pixel coords (align_corners=True)
+    fx = (gx + 1.0) * 0.5 * (w - 1)
+    fy = (gy + 1.0) * 0.5 * (h - 1)
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(yi, xi):
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        xc = jnp.clip(xi, 0, w - 1)
+        yc = jnp.clip(yi, 0, h - 1)
+        flat_idx = yc * w + xc  # (B, Hg, Wg)
+        flat = x.reshape(b, h * w, c)
+        gathered = jnp.take_along_axis(
+            flat,
+            flat_idx.reshape(b, -1, 1),
+            axis=1,
+        ).reshape(flat_idx.shape + (c,))
+        return gathered * valid[..., None].astype(x.dtype)
+
+    v00 = corner(y0i, x0i)
+    v01 = corner(y0i, x0i + 1)
+    v10 = corner(y0i + 1, x0i)
+    v11 = corner(y0i + 1, x0i + 1)
+
+    tx = tx[..., None].astype(x.dtype)
+    ty = ty[..., None].astype(x.dtype)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def backward_warp(
+    x: jnp.ndarray,
+    flow: jnp.ndarray,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Warp ``x`` (NHWC) backward by ``flow`` (B, H, W, 2 normalized units).
+
+    ``out(p) = x(base_grid(p) - flow(p))`` — reference FlowWrapper
+    (utils/net_utils.py:109-114).  Flow channel 0 displaces x (width), 1
+    displaces y (height), in normalized [-1, 1] grid units.
+    """
+    b, h, w, _ = x.shape
+    base = make_base_grid(h, w, dtype=jnp.float32)[None]
+    grid = base - flow.astype(jnp.float32)
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from deep_video_interpolation_extrapolation_tpu.ops.pallas_warp import (
+            grid_sample_pallas,
+        )
+        return grid_sample_pallas(x, grid)
+    return grid_sample(x, grid)
+
+
+def flow_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Alias kept for API parity with reference ``warp`` helpers."""
+    return backward_warp(x, flow)
