@@ -219,10 +219,14 @@ class HRNet(nn.Module):
     highres_large: bool = False
     dtype: Optional[Dtype] = None
 
+    def setup(self):
+        # setup-defined so composites can reuse it directly
+        # (nets/InterRefineNet.py:20-23 calls coarse_model.seg_encoder)
+        self.seg_encoder = SegEncoder(dtype=self.dtype)
+
     @nn.compact
     def __call__(self, rgb, seg, train: bool = True):
-        seg_enc = SegEncoder(dtype=self.dtype, name="seg_encoder")
-        x = _encode_inputs(rgb, seg, seg_enc)
+        x = _encode_inputs(rgb, seg, self.seg_encoder)
         feat = _HRBackbone(self.highres_large, dtype=self.dtype, name="backbone")(x)
 
         if self.syn_type == "extra":
@@ -310,6 +314,9 @@ class VAEHRNet(nn.Module):
     highres_large: bool = False
     dtype: Optional[Dtype] = None
 
+    def setup(self):
+        self.seg_encoder = SegEncoder(dtype=self.dtype)
+
     @nn.compact
     def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True):
         b, h, w, _ = rgb.shape
@@ -332,8 +339,7 @@ class VAEHRNet(nn.Module):
         z = z.reshape(b, zh, zw, 16)
         vae_feature = _VAEDecoder(dtype=self.dtype, name="vae_decoder")(z, train=train)
 
-        seg_enc = SegEncoder(dtype=self.dtype, name="seg_encoder")
-        x = _encode_inputs(rgb, seg, seg_enc)
+        x = _encode_inputs(rgb, seg, self.seg_encoder)
         x = jnp.concatenate([vae_feature, x], axis=-1)
         feat = _HRBackbone(self.highres_large, dtype=self.dtype, name="backbone")(x)
 

@@ -81,6 +81,38 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - ty) + bot * ty
 
 
+def grid_sample_border(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`grid_sample` but with border (clamp) padding —
+    torch ``F.grid_sample(padding_mode='border')`` (nets/OpticalUnet.py:132-139)."""
+    b, h, w, c = x.shape
+    compute_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    gx = grid[..., 0].astype(compute_dtype)
+    gy = grid[..., 1].astype(compute_dtype)
+    fx = jnp.clip((gx + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    fy = jnp.clip((gy + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None].astype(x.dtype)
+    ty = (fy - y0)[..., None].astype(x.dtype)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    flat = x.reshape(b, h * w, c)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(b, -1, 1)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(yi.shape + (c,))
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
 def backward_warp(
     x: jnp.ndarray,
     flow: jnp.ndarray,
