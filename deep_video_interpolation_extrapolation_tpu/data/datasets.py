@@ -1,0 +1,93 @@
+"""Dataset factory (reference data.py:21-143).
+
+Replicates the reference's split selection: pickled clip lists keyed by
+interval/track-count/area (data.py:25-32), bbox coordinate pickles, and
+per-split source dirs.  The reference hard-codes ``/data/linz/...`` roots;
+here the root comes from ``--img_dir/--seg_dir`` or ``$DVIE_DATA_ROOT``,
+with the same relative naming convention.  ``--dataset synthetic`` (a
+TPU-framework addition) provides generated clips so every pipeline stage
+runs without the Cityscapes download.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional, Tuple
+
+from deep_video_interpolation_extrapolation_tpu.core.config import Config
+from deep_video_interpolation_extrapolation_tpu.data.folder import ClipDataset, Loader
+from deep_video_interpolation_extrapolation_tpu.data.synthetic import (
+    SyntheticClipDataset,
+)
+
+
+def data_root() -> str:
+    return os.environ.get("DVIE_DATA_ROOT", "/data/cityscape")
+
+
+def clip_file_path(cfg: Config) -> str:
+    """Mirror of the reference's clip-pkl naming (data.py:25-32)."""
+    root = data_root()
+    if cfg.effec_flow:
+        return os.path.join(
+            root, "load_files",
+            f"effec_flow_int_{int(cfg.interval)}_len_3_extra_lsclip.pkl")
+    if cfg.syn_type == "extra" and cfg.vid_length != 1:
+        return os.path.join(
+            root, "load_files",
+            f"int_{int(cfg.interval)}_len_{cfg.vid_length + 2}_extra_lsclip.pkl")
+    return os.path.join(
+        root, "load_files",
+        f"int_{int(cfg.interval)}_len_3_max_{int(cfg.num_track_per_img)}bb_"
+        f"area_3000_extra_panet_lsclip.pkl")
+
+
+def obj_coord_file_path(cfg: Config) -> str:
+    return os.path.join(
+        data_root(), "obj_coords",
+        f"int_{int(cfg.interval)}_len_3_extra_512x1024_max_"
+        f"{int(cfg.num_track_per_img)}bb_area_3000_panet_lsclip.pkl")
+
+
+def get_dataset(cfg: Config, vid_len: int = 3):
+    """Returns (train_dataset, val_dataset); each may be None per split."""
+    if cfg.dataset == "synthetic":
+        bs = cfg.batch_size
+        train = SyntheticClipDataset(cfg, bs, num_batches=8, vid_len=vid_len)
+        val = SyntheticClipDataset(cfg, bs, num_batches=4, vid_len=vid_len)
+        return (train if cfg.split == "train" else None,
+                val if cfg.split == "val" else None)
+
+    if cfg.dataset == "cityscape":
+        with open(clip_file_path(cfg), "rb") as f:
+            clips = pickle.load(f)
+        boxes = None
+        coord_path = obj_coord_file_path(cfg)
+        if os.path.exists(coord_path):
+            with open(coord_path, "rb") as f:
+                boxes = pickle.load(f)
+        train = val = None
+        if cfg.split == "train":
+            train = ClipDataset(
+                cfg, clips["train"],
+                bboxes=boxes["train"] if boxes else None, split="train")
+        if cfg.split == "val":
+            val = ClipDataset(
+                cfg, clips["val"],
+                bboxes=boxes["val"] if boxes else None, split="val")
+        return train, val
+
+    if cfg.dataset in ("ucf101", "vimeo"):
+        # val-only xx2x paths in the reference (data.py:75-137)
+        raise NotImplementedError(
+            f"dataset {cfg.dataset}: supply clips via ClipDataset directly")
+    raise KeyError(cfg.dataset)
+
+
+def make_loader(cfg: Config, dataset, shuffle: Optional[bool] = None):
+    if isinstance(dataset, SyntheticClipDataset):
+        return dataset
+    return Loader(
+        dataset, cfg.batch_size, seed=cfg.seed,
+        shuffle=shuffle if shuffle is not None else (cfg.split == "train"))

@@ -1,0 +1,237 @@
+"""Cityscapes clip dataset (reference folder.py:38-313).
+
+Host-side numpy/PIL pipeline producing fixed-shape batches:
+
+- 3-frame (or vid_len+2) clips of rgb (normalized to [-1,1] with mean/std
+  0.5, folder.py:187-191) and 20-class one-hot seg (folder.py:195);
+- train-time correlated crop-motion augmentation: the per-frame crops drift
+  linearly across the clip, simulating camera motion
+  (folder.py:125-149,183-194), plus horizontal flip (folder.py:166-180);
+- bbox tracks: input pkl rows [score, x1, y1, x2, y2] at 1024x512 are
+  rescaled to image scale and converted to (y1, x1, y2, x2)
+  (folder.py:108-123), crop/flip-adjusted and clamped, degenerate tracks
+  dropped, missing tracks re-sampled by duplication, and clips with no
+  usable track resampled (folder.py:219-276).
+
+Deviation: batches carry boxes as (3, n_track, 4) float (y1, x1, y2, x2);
+the reference keeps the score as a 5th leading field that no model consumes
+spatially (TrackGen indexes fields 1..4, nets/TrackGen.py:137-144).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
+    IMG_EXT,
+    SEG_EXT,
+    N_CLASSES,
+)
+
+
+def _load_rgb(path: str) -> np.ndarray:
+    from PIL import Image
+    with open(path, "rb") as f:
+        return np.asarray(Image.open(f).convert("RGB"), np.uint8)
+
+
+def _load_seg(path: str) -> np.ndarray:
+    from PIL import Image
+    with open(path, "rb") as f:
+        return np.asarray(Image.open(f).convert("L"), np.uint8)
+
+
+def correlated_crop_params(rng: np.random.RandomState, src: int, crop: int):
+    """Linear-drift crop offsets for a 3-frame clip (folder.py:125-149)."""
+    margin = src - crop
+    interval = rng.randint(margin)
+    direction = rng.randint(2)
+    mid = rng.randint(interval // 2, margin - interval // 2)
+    if direction == 1:
+        first, last = mid - interval // 2, mid + interval // 2
+    else:
+        first, last = mid + interval // 2, mid - interval // 2
+    return first, mid, last
+
+
+class ClipDataset:
+    """Fixed-shape clip sampler (reference ImageFolder/DatasetFolder)."""
+
+    def __init__(
+        self,
+        cfg,
+        clips: Sequence[Sequence[str]],
+        bboxes: Optional[List] = None,
+        split: str = "train",
+        img_dir: Optional[str] = None,
+        seg_dir: Optional[str] = None,
+        src_size: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.clips = list(clips)
+        self.split = split
+        self.img_dir = img_dir or cfg.img_dir
+        self.seg_dir = seg_dir or cfg.seg_dir
+        # reference: 150px train source, 128px val source (folder.py:85-98)
+        self.src_size = src_size or (150 if split == "train" else 128)
+        self.vid_len = len(self.clips[0]) if self.clips else 3
+        self.bboxes = self._convert(bboxes) if bboxes is not None else None
+
+    def __len__(self):
+        return len(self.clips)
+
+    def _convert(self, clips_boxes):
+        """Rescale 1024x512 [score,x1,y1,x2,y2] -> img-scale (y1,x1,y2,x2)
+        keeping score (folder.py:108-123)."""
+        out = []
+        s = self.src_size
+        for clip in clips_boxes:
+            cb = []
+            for frame in clip:
+                fb = []
+                for box in frame:
+                    if box is None:
+                        fb.append(None)
+                        continue
+                    score, x1, y1, x2, y2 = box
+                    x1 = np.floor(x1 * s / 1024.0)
+                    y1 = np.floor(y1 * s / 512.0)
+                    x2 = np.floor(x2 * s / 1024.0)
+                    y2 = np.floor(y2 * s / 512.0)
+                    if y2 <= y1 or x2 <= x1:
+                        fb.append(None)
+                    else:
+                        fb.append([score, y1, x1, y2, x2])
+                cb.append(fb)
+            out.append(cb)
+        return out
+
+    def sample(self, index: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        for _attempt in range(16):
+            item = self._try_sample(index, rng)
+            if item is not None:
+                return item
+            index = (index + rng.randint(1, len(self.clips))) % len(self.clips)
+        raise RuntimeError("no clip with usable tracks after 16 resamples")
+
+    def _try_sample(self, index, rng):
+        cfg = self.cfg
+        clip = self.clips[index]
+        imgs = [
+            _load_rgb(os.path.join(self.img_dir, p + IMG_EXT)) for p in clip
+        ]
+        segs = [
+            _load_seg(os.path.join(self.seg_dir, p + SEG_EXT)) for p in clip
+        ]
+        n_track = cfg.num_track_per_img
+        if self.bboxes is not None:
+            clip_boxes = [
+                [None if b is None else list(b) for b in frame]
+                for frame in self.bboxes[index]
+            ]
+        else:
+            clip_boxes = None
+
+        flip = rng.randint(0, 3) and self.split == "train"
+        if flip:
+            imgs = [img[:, ::-1] for img in imgs]
+            segs = [s[:, ::-1] for s in segs]
+            if clip_boxes is not None:
+                w_last = self.src_size - 1
+                for frame in clip_boxes:
+                    for b in frame:
+                        if b is not None:
+                            b[2], b[4] = w_last - b[4], w_last - b[2]
+
+        ch, cw = cfg.input_h, cfg.input_w
+        if self.split == "train":
+            hs = correlated_crop_params(rng, imgs[0].shape[0], ch)
+            ws = correlated_crop_params(rng, imgs[0].shape[1], cw)
+            crops = [(hs[i], ws[i]) for i in range(min(3, self.vid_len))]
+            while len(crops) < self.vid_len:
+                crops.append(crops[-1])
+        else:
+            crops = [(0, 0)] * self.vid_len
+
+        out: Dict[str, np.ndarray] = {}
+        for i in range(self.vid_len):
+            y0, x0 = crops[i]
+            img = imgs[i][y0:y0 + ch, x0:x0 + cw]
+            seg = segs[i][y0:y0 + ch, x0:x0 + cw]
+            out[f"frame{i + 1}"] = img.astype(np.float32) / 255.0 * 2.0 - 1.0
+            out[f"seg{i + 1}"] = np.eye(N_CLASSES, dtype=np.float32)[seg]
+
+        # bbox adjust + validity filtering (folder.py:219-276)
+        if clip_boxes is not None:
+            kept = [[], [], []]
+            for j in range(n_track):
+                track = []
+                ok = True
+                for i in range(3):
+                    b = clip_boxes[i][j]
+                    if b is None:
+                        ok = False
+                        break
+                    y0, x0 = crops[i] if self.split == "train" else (0, 0)
+                    y1 = max(0.0, b[1] - y0)
+                    y2 = min(ch - 1.0, b[3] - y0)
+                    x1 = max(0.0, b[2] - x0)
+                    x2 = min(cw - 1.0, b[4] - x0)
+                    if y2 <= y1 or x2 <= x1:
+                        ok = False
+                        break
+                    track.append([y1, x1, y2, x2])
+                if ok:
+                    for i in range(3):
+                        kept[i].append(track[i])
+            if len(kept[1]) == 0:
+                return None
+            while len(kept[1]) < n_track:
+                k = rng.randint(len(kept[1]))
+                for i in range(3):
+                    kept[i].append(list(kept[i][k]))
+            boxes = np.asarray(kept, np.float32)[:, :n_track]
+        else:
+            boxes = np.tile(
+                np.array([0.0, 0.0, ch - 1.0, cw - 1.0], np.float32),
+                (3, n_track, 1))
+        out["bboxes"] = boxes
+        return out
+
+
+class Loader:
+    """Epoch-seeded shuffling batcher (DistributedSampler.set_epoch
+    semantics, runners/InterTrainer.py:117-120)."""
+
+    def __init__(self, dataset: ClipDataset, batch_size: int, seed: int = 0,
+                 shuffle: bool = True, drop_last: bool = True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.ds) // self.batch_size
+        if not self.drop_last and len(self.ds) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self):
+        rng = np.random.RandomState(self.seed + self.epoch)
+        order = rng.permutation(len(self.ds)) if self.shuffle else np.arange(len(self.ds))
+        nb = len(self)
+        for bi in range(nb):
+            idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+            samples = [self.ds.sample(int(i), rng) for i in idxs]
+            yield {
+                k: np.stack([s[k] for s in samples]) for k in samples[0]
+            }

@@ -192,15 +192,22 @@ def _extra_mask_from_seg(
 ) -> jnp.ndarray:
     """Occlusion mask derived from segmentation (nets/HRNet.py:590-596):
     mask=0 (to inpaint) where the input's foreground becomes predicted
-    background; 1 elsewhere."""
+    background; 1 elsewhere.
+
+    Implemented as table gathers rather than >=/< comparisons: the mask
+    feeds InpaintUnet convs, and cmp->select lowerings upstream of conv
+    inputs abort the current libtpu's SpaceToBatchConverter during
+    backprop-filter propagation (see train/extra.py note)."""
+    fg_table = (jnp.arange(20) >= fg_threshold).astype(rgb_out.dtype)
+    bg_table = 1.0 - fg_table
     seg_input_ids = jnp.argmax(last_input_seg, axis=-1)
-    fg_input = (seg_input_ids >= fg_threshold).astype(rgb_out.dtype)
+    fg_input = jnp.take(fg_table, seg_input_ids)
     masks = []
     for i in range(num_pred_once):
         ids = jnp.argmax(
             jax.lax.stop_gradient(seg_out[..., 20 * i:20 * i + 20]), axis=-1
         )
-        bg_pred = (ids < fg_threshold).astype(rgb_out.dtype)
+        bg_pred = jnp.take(bg_table, ids)
         masks.append(1.0 - fg_input * bg_pred)
     return jnp.stack(masks, axis=-1)
 

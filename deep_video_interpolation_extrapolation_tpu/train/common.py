@@ -1,0 +1,78 @@
+"""Shared pieces of the jitted train/eval steps."""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deep_video_interpolation_extrapolation_tpu.core.config import Config
+from deep_video_interpolation_extrapolation_tpu.losses.bundles import rgb_loss_bundle
+from deep_video_interpolation_extrapolation_tpu.losses.perceptual import (
+    make_vgg_l1_loss,
+)
+from deep_video_interpolation_extrapolation_tpu.models.features import VGG19Features
+from deep_video_interpolation_extrapolation_tpu.models.registry import compute_dtype
+
+
+def make_vgg_module(cfg: Config) -> VGG19Features:
+    return VGG19Features(dtype=compute_dtype(cfg))
+
+
+def init_vgg_frozen(cfg: Config, rng) -> Dict[str, Any]:
+    """Random-init frozen VGG19 params (see models/features.py docstring)."""
+    vgg = make_vgg_module(cfg)
+    sample = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    return vgg.init(rng, sample)["params"]
+
+
+def vgg_loss_from_frozen(cfg: Config, frozen) -> Optional[Callable]:
+    if not frozen or "vgg" not in frozen:
+        return None
+    vgg = make_vgg_module(cfg)
+    return make_vgg_l1_loss(vgg, {"params": frozen["vgg"]})
+
+
+def rgb_bundle(cfg: Config, pred, gt, vgg_fn, prefix: str, refine: bool = False):
+    """RGBLoss with global or refine_* weights (losses.py:228-241)."""
+    if refine:
+        w = (cfg.refine_l1_weight, cfg.refine_gdl_weight,
+             cfg.refine_vgg_weight, cfg.refine_ssim_weight)
+    else:
+        w = (cfg.l1_weight, cfg.gdl_weight, cfg.vgg_weight, cfg.ssim_weight)
+    return rgb_loss_bundle(pred, gt, *w, vgg_fn=vgg_fn, prefix=prefix)
+
+
+def sum_losses(loss_dict: "OrderedDict[str, jnp.ndarray]") -> jnp.ndarray:
+    total = jnp.zeros(())
+    for v in loss_dict.values():
+        total = total + jnp.mean(v)
+    return total
+
+
+def get_inter_inputs(batch: Dict[str, jnp.ndarray]):
+    """(frame1, frame3) -> predict frame2 (runners/InterTrainer.py:389-394)."""
+    x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
+    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
+    return x, seg, batch["frame2"], batch["seg2"]
+
+
+def normalize01(img: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] -> [0,1] (runners/InterTrainer.py:129-130)."""
+    return (img + 1.0) / 2.0
+
+
+def apply_model(model, state_params, batch_stats, *args, rngs=None, train=True, **kw):
+    """model.apply with optional mutable batch_stats collection."""
+    variables = {"params": state_params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    mutable = ["batch_stats"] if (train and batch_stats) else False
+    out = model.apply(variables, *args, train=train, mutable=mutable,
+                      rngs=rngs or {}, **kw)
+    if mutable:
+        out, mutated = out
+        return out, mutated.get("batch_stats", batch_stats)
+    return out, batch_stats

@@ -1,0 +1,141 @@
+"""Interpolation trainer steps (reference runners/InterTrainer.py).
+
+``make_train_step``/``make_eval_step`` return pure jittable functions for
+the InterNet / InterRefineNet / InterStage3Net heads, reproducing the
+reference's loss structure:
+
+- coarse: weighted {l1, gdl, vgg, ssim} on raw [-1,1] outputs + CE on seg
+  (InterTrainer.py:411-414);
+- refine/stage3: per-scale refine-weighted bundles against align_corners
+  bilinear-downscaled ground truth (InterTrainer.py:415-425);
+- one summed backward, per-submodel optimizer steps gated by train_* flags
+  (InterTrainer.py:427-439).
+
+The loss-dict keys match the reference's logging keys exactly.  Metric sync
+across data shards happens automatically: all reductions are global means
+under jit over the sharded batch, the SPMD equivalent of
+``sync``'s dist.all_reduce (InterTrainer.py:859-864).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from deep_video_interpolation_extrapolation_tpu.core.config import Config
+from deep_video_interpolation_extrapolation_tpu.losses.image import (
+    cross_entropy_loss,
+    iou_accuracy,
+    l1_loss,
+    psnr,
+    ssim,
+)
+from deep_video_interpolation_extrapolation_tpu.losses.perceptual import (
+    make_vgg_cosine_score,
+)
+from deep_video_interpolation_extrapolation_tpu.ops.resize import interpolate_bilinear
+from deep_video_interpolation_extrapolation_tpu.train import state as state_lib
+from deep_video_interpolation_extrapolation_tpu.train.common import (
+    apply_model,
+    get_inter_inputs,
+    make_vgg_module,
+    normalize01,
+    rgb_bundle,
+    sum_losses,
+    vgg_loss_from_frozen,
+)
+
+
+def _scale_str(cfg: Config, i: int) -> str:
+    return str(1 / (2 ** (cfg.n_scales - i - 1)))
+
+
+def make_train_step(cfg: Config, model) -> Callable:
+    def train_step(state: state_lib.TrainState, batch, rng):
+        x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+        vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
+
+        def loss_fn(params):
+            out, new_bs = apply_model(
+                model, params, state.batch_stats, x, seg,
+                rngs={"noise": rng}, train=True)
+            loss_dict = OrderedDict()
+            if cfg.model == "InterNet":
+                coarse_img, coarse_seg = out
+            elif cfg.model == "InterRefineNet":
+                coarse_img, coarse_seg, refine_imgs = out
+            else:
+                coarse_img, coarse_seg, refine_imgs, stage3_imgs, _ = out
+
+            loss_dict.update(rgb_bundle(cfg, coarse_img, gt_x, vgg_fn, "coarse"))
+            if cfg.mode == "xs2xs":
+                loss_dict["coarse_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
+                    coarse_seg, jnp.argmax(gt_seg, axis=-1))
+            if cfg.model in ("InterRefineNet", "InterStage3Net"):
+                for i in range(cfg.n_scales):
+                    scale = 1 / (2 ** (cfg.n_scales - i - 1))
+                    gt_s = interpolate_bilinear(
+                        gt_x, scale_factor=scale, align_corners=True
+                    ) if i != cfg.n_scales - 1 else gt_x
+                    loss_dict.update(rgb_bundle(
+                        cfg, refine_imgs[i], gt_s, vgg_fn,
+                        "refine_" + _scale_str(cfg, i), refine=True))
+                    if cfg.model == "InterStage3Net":
+                        loss_dict.update(rgb_bundle(
+                            cfg, stage3_imgs[i], gt_s, vgg_fn,
+                            "stage3_" + _scale_str(cfg, i), refine=True))
+            total = sum_losses(loss_dict)
+            loss_dict["loss_all"] = total
+            return total, (loss_dict, new_bs)
+
+        (_, (loss_dict, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state_lib.apply_updates(cfg, state, grads, new_bs)
+        return new_state, loss_dict
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model) -> Callable:
+    """Validation metrics (InterTrainer.py:612-633): L1/PSNR/SSIM on [0,1],
+    IoU(=pixel acc) on argmax ids, VGG-cosine."""
+    def eval_step(state: state_lib.TrainState, batch, rng):
+        x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+        out, _ = apply_model(model, state.params, state.batch_stats, x, seg,
+                             gt_seg=gt_seg, rngs={"noise": rng}, train=False)
+        if cfg.model == "InterNet":
+            coarse_img, coarse_seg = out
+            refine_img = None
+        elif cfg.model == "InterRefineNet":
+            coarse_img, coarse_seg, refine_imgs = out
+            refine_img = refine_imgs[-1]
+        else:
+            coarse_img, coarse_seg, refine_imgs, stage3_imgs, _ = out
+            refine_img = refine_imgs[-1]
+
+        coarse_img = jnp.clip(coarse_img, -1, 1)
+        metrics = OrderedDict()
+        p = normalize01(coarse_img)
+        g = normalize01(gt_x)
+        metrics["coarse_l1"] = l1_loss(p, g)
+        metrics["coarse_psnr"] = psnr(p, g)
+        metrics["coarse_ssim"] = ssim(p, g)
+        metrics["coarse_iou"] = iou_accuracy(
+            jnp.argmax(coarse_seg, axis=-1), jnp.argmax(gt_seg, axis=-1))
+        if state.frozen and "vgg" in state.frozen:
+            cos = make_vgg_cosine_score(
+                make_vgg_module(cfg), {"params": state.frozen["vgg"]})
+            metrics["coarse_vgg"] = cos(p, g)
+        if refine_img is not None:
+            rp = normalize01(jnp.clip(refine_img, -1, 1))
+            metrics["refine_l1"] = l1_loss(rp, g)
+            metrics["refine_psnr"] = psnr(rp, g)
+            metrics["refine_ssim"] = ssim(rp, g)
+            if state.frozen and "vgg" in state.frozen:
+                metrics["refine_vgg"] = cos(rp, g)
+        return metrics
+
+    return eval_step

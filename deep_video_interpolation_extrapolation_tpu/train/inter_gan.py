@@ -1,0 +1,168 @@
+"""InterGAN trainer step (reference runners/InterGANTrainer.py).
+
+The reference trains the generator and every discriminator from ONE
+backward pass, separating gradient flows with fake-``detach`` +
+``requires_grad`` toggling (nets/InterGANNet.py:44-107,
+InterGANTrainer.py:438-456).  The JAX-exact equivalent inside a single
+``jax.grad``:
+
+- D losses see ``stop_gradient(fake)`` -> only D params get D-loss grads;
+- G hinge losses apply each discriminator with its *param tree
+  stop-gradiented* -> only G params get G-loss grads;
+- one ``value_and_grad`` over the combined sum, then per-submodel
+  optimizer steps (Adamax for G / Adam for Ds, gated by train_* flags).
+
+Loss-dict keys match InterGANTrainer.py:395-436 exactly.  Note the GAN
+trainer computes the coarse RGB bundle on [0,1]-normalized images
+(InterGANTrainer.py:395), unlike the plain inter trainer.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from deep_video_interpolation_extrapolation_tpu.core.config import Config
+from deep_video_interpolation_extrapolation_tpu.losses.gan import gan_scalar_loss
+from deep_video_interpolation_extrapolation_tpu.losses.image import cross_entropy_loss
+from deep_video_interpolation_extrapolation_tpu.losses.perceptual import (
+    make_track_obj_loss,
+)
+from deep_video_interpolation_extrapolation_tpu.losses.vae import kld_loss
+from deep_video_interpolation_extrapolation_tpu.models import registry
+from deep_video_interpolation_extrapolation_tpu.models.features import (
+    ResNet101Features,
+)
+from deep_video_interpolation_extrapolation_tpu.train import state as state_lib
+from deep_video_interpolation_extrapolation_tpu.train.common import (
+    get_inter_inputs,
+    normalize01,
+    rgb_bundle,
+    sum_losses,
+    vgg_loss_from_frozen,
+)
+
+FAMILIES = (
+    # (flag attr, params key, model attr, loss key stem, is_video, d_w attr, g_w attr)
+    ("frame_disc", "frame_disc_model", "frame_disc_model", "frame", False,
+     "frame_disc_disc_weight", "frame_disc_gen_weight"),
+    ("frame_det_disc", "frame_det_disc_model", "frame_det_disc_model", "frame_det", False,
+     "frame_det_disc_disc_weight", "frame_det_disc_gen_weight"),
+    ("video_disc", "video_disc_model", "video_disc_model", "video", True,
+     "video_disc_disc_weight", "video_disc_gen_weight"),
+    ("video_det_disc", "video_det_disc_model", "video_det_disc_model", "video_det", True,
+     "video_det_disc_disc_weight", "video_det_disc_gen_weight"),
+)
+
+
+def _sub_apply(module, params, bs, *args, rngs=None, train=True, **kw):
+    variables = {"params": params}
+    if bs:
+        variables["batch_stats"] = bs
+    mutable = ["batch_stats"] if (train and bs) else False
+    out = module.apply(variables, *args, train=train, mutable=mutable,
+                       rngs=rngs or {}, **kw)
+    if mutable:
+        out, mut = out
+        return out, mut.get("batch_stats", bs)
+    return out, bs
+
+
+def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
+    coarse = registry.build_coarse(cfg)
+    track_gen = registry.build_track_gen(cfg) if cfg.track_gen else None
+    discs = {}
+    for flag, pkey, _attr, stem, is_video, dw, gw in FAMILIES:
+        if getattr(cfg, flag):
+            discs[pkey] = (registry.build_disc(cfg, getattr(cfg, _attr)),
+                           stem, is_video, getattr(cfg, dw), getattr(cfg, gw))
+
+    track_obj = None
+    if cfg.track_obj_loss and track_obj_frozen is not None:
+        track_obj = make_track_obj_loss(
+            ResNet101Features(dtype=registry.compute_dtype(cfg)), track_obj_frozen)
+
+    def train_step(state: state_lib.TrainState, batch, rng):
+        x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+        bboxes = batch.get("bboxes")
+        vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
+
+        def loss_fn(params):
+            ld = OrderedDict()
+            bs_all = dict(state.batch_stats) if state.batch_stats else {}
+
+            def bs_of(key):
+                return bs_all.get(key, {})
+
+            (coarse_rgb, coarse_seg_logits, mu, logvar), new_bs = _sub_apply(
+                coarse, params["coarse_model"], bs_of("coarse_model"),
+                x, seg, gt_x, gt_seg, rngs={"noise": rng}, train=True)
+            if new_bs:
+                bs_all["coarse_model"] = new_bs
+            if cfg.track_gen:
+                kw = {"gt_bbox_for_loss": True} if "V2" in cfg.track_gen_model else {}
+                (coarse_rgb, coarse_seg_logits, gen_bbox, loc_diff), tg_bs = _sub_apply(
+                    track_gen, params["track_gen_model"], bs_of("track_gen_model"),
+                    x, seg, coarse_rgb, coarse_seg_logits, bboxes, train=True, **kw)
+                if tg_bs:
+                    bs_all["track_gen_model"] = tg_bs
+            else:
+                loc_diff = jnp.zeros(())
+
+            soft = jax.nn.softmax(coarse_seg_logits, axis=-1)
+            sg = jax.lax.stop_gradient
+
+            # generator reconstruction losses (InterGANTrainer.py:393-418)
+            ld.update(rgb_bundle(cfg, normalize01(coarse_rgb), normalize01(gt_x),
+                                 vgg_fn, "coarse"))
+            if track_obj is not None and bboxes is not None:
+                ld["coarse_track_obj_loss"] = cfg.track_obj_weight * track_obj(
+                    normalize01(coarse_rgb), normalize01(x[..., :3]),
+                    normalize01(x[..., 3:6]), bboxes)
+            if cfg.mode == "xs2xs":
+                ld["coarse_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
+                    coarse_seg_logits, jnp.argmax(gt_seg, axis=-1))
+            if cfg.track_gen:
+                ld["coarse_loc_diff_loss"] = cfg.loc_diff_weight * jnp.mean(loc_diff)
+            if cfg.vae:
+                ld["coarse_kld_loss"] = kld_loss(mu, logvar, cfg.kld_weight)
+
+            # discriminator families (InterGANTrainer.py:412-436)
+            for pkey, (disc, stem, is_video, d_w, g_w) in discs.items():
+                d_params = params[pkey]
+                frozen_d = jax.tree_util.tree_map(sg, d_params)
+                extra = (x, seg) if is_video else ()
+                d_bs = bs_of(pkey)
+                d_fake, d_bs = _sub_apply(
+                    disc, d_params, d_bs, sg(coarse_rgb), sg(soft), *extra,
+                    bboxes=bboxes, train=True)
+                d_real, d_bs = _sub_apply(
+                    disc, d_params, d_bs, gt_x, gt_seg, *extra,
+                    bboxes=bboxes, train=True)
+                g_fake, d_bs = _sub_apply(
+                    disc, frozen_d, d_bs, coarse_rgb, soft, *extra,
+                    bboxes=bboxes, train=True)
+                if d_bs:
+                    bs_all[pkey] = d_bs
+                if stem == "video_det" and hasattr(disc, "supports_sync_neg"):
+                    d_sync, _ = _sub_apply(
+                        disc, d_params, d_bs, gt_x, gt_seg, *extra,
+                        bboxes=bboxes, sync_neg=True, train=True)
+                    d_fake = (d_fake + d_sync) / 2
+                ld[f"coarse_{stem}_loss"] = gan_scalar_loss(g_fake, True, g_w)
+                ld[f"disc_{stem}_real_loss"] = gan_scalar_loss(d_real, True, d_w)
+                ld[f"disc_{stem}_fake_loss"] = gan_scalar_loss(d_fake, False, d_w)
+
+            total = sum_losses(ld)
+            ld["loss_all"] = total
+            return total, (ld, bs_all)
+
+        (_, (loss_dict, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state_lib.apply_updates(cfg, state, grads, new_bs)
+        return new_state, loss_dict
+
+    return train_step
