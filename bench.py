@@ -1,0 +1,72 @@
+"""Benchmark: flagship interpolation throughput on one TPU chip.
+
+Measures InterNet (HRNet coarse, the reference's primary interpolation
+model, runners/InterTrainer.py:31-34) inference throughput at full
+Cityscapes resolution 1024x512 in bfloat16 — the BASELINE.json north-star
+metric ("Cityscapes 1024x512 interpolation ... frames/sec/chip").
+
+Baseline note: the reference publishes no numbers (SURVEY §6).
+``REF_GPU_FPS_ESTIMATE`` is our documented estimate of the PyTorch
+reference's 1024x512 HRNet forward rate on its actual training hardware
+(GTX/RTX 11GB-class, reference cmd:160-162): ~3.5 frames/s, derived from
+the model's ~200 GFLOPs/frame at this resolution against ~11 TFLOPs fp32
+with typical torch conv efficiency.  ``vs_baseline`` is measured_fps /
+REF_GPU_FPS_ESTIMATE, so the >=10x north-star target corresponds to
+vs_baseline >= 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REF_GPU_FPS_ESTIMATE = 3.5  # frames/sec, reference torch HRNet @1024x512 (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+
+    h, w = 512, 1024
+    batch = 8
+    cfg = Config(
+        runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
+        train_coarse=True, coarse_model="HRNet", compute_dtype="bfloat16",
+        input_h=h, input_w=w, batch_size=batch, dataset="synthetic",
+    )
+    model = registry.build_model(cfg)
+    rgb = jnp.zeros((batch, h, w, 6), jnp.bfloat16)
+    seg = jnp.zeros((batch, h, w, 40), jnp.bfloat16)
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        jax.random.PRNGKey(0), rgb, seg, train=False)
+
+    @jax.jit
+    def forward(rgb, seg):
+        return model.apply(variables, rgb, seg, train=False)
+
+    # warmup + compile
+    out = forward(rgb, seg)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(rgb, seg)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "internet_hrnet_interp_fps_1024x512_bf16",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / REF_GPU_FPS_ESTIMATE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
