@@ -28,8 +28,13 @@ REF_GPU_FPS_ESTIMATE = 3.5  # frames/sec, reference torch HRNet @1024x512 (see a
 def main():
     import jax
     import jax.numpy as jnp
+    from deep_video_interpolation_extrapolation_tpu.core.cache import (
+        enable_compilation_cache,
+    )
     from deep_video_interpolation_extrapolation_tpu.core.config import Config
     from deep_video_interpolation_extrapolation_tpu.models import registry
+
+    enable_compilation_cache()
 
     h, w = 512, 1024
     batch = 8

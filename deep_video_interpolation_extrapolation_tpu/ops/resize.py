@@ -68,8 +68,10 @@ def interpolate_bilinear(
         out = _resize_axis_align_corners(x, 1, h)
         out = _resize_axis_align_corners(out, 2, w)
         return out
+    # antialias=False: torch F.interpolate(bilinear) never low-pass filters,
+    # even when downsampling — match it exactly.
     return jax.image.resize(
-        x, (x.shape[0], h, w, x.shape[3]), method="bilinear"
+        x, (x.shape[0], h, w, x.shape[3]), method="bilinear", antialias=False
     ).astype(x.dtype)
 
 
