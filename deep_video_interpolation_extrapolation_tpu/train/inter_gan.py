@@ -71,6 +71,47 @@ def _sub_apply(module, params, bs, *args, rngs=None, train=True, **kw):
     return out, bs
 
 
+def init_variables(cfg: Config, rng, batch) -> Dict:
+    """Init the GAN composite's per-submodel variables.
+
+    Returns {"params": {...}, "batch_stats": {...}} keyed by submodel name
+    ('coarse_model', 'track_gen_model', '<family>_model'), the tree layout
+    ``make_train_step`` consumes (mirrors the reference's per-submodel
+    modules inside InterGANNet, nets/InterGANNet.py:10-26).
+    """
+    x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+    bboxes = batch.get("bboxes")
+    keys = jax.random.split(rng, 8)
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    def add(name, variables):
+        params[name] = variables["params"]
+        if "batch_stats" in variables:
+            batch_stats[name] = variables["batch_stats"]
+
+    coarse = registry.build_coarse(cfg)
+    add("coarse_model", coarse.init(
+        {"params": keys[0], "noise": keys[1]}, x, seg, gt_x, gt_seg, train=True))
+    if cfg.track_gen:
+        track_gen = registry.build_track_gen(cfg)
+        coarse_rgb = jnp.zeros_like(gt_x)
+        coarse_seg = jnp.zeros_like(gt_seg)
+        kw = {"gt_bbox_for_loss": True} if "V2" in cfg.track_gen_model else {}
+        add("track_gen_model", track_gen.init(
+            keys[2], x, seg, coarse_rgb, coarse_seg, bboxes, train=True, **kw))
+    for i, (flag, pkey, _attr, _stem, is_video, _dw, _gw) in enumerate(FAMILIES):
+        if getattr(cfg, flag):
+            disc = registry.build_disc(cfg, getattr(cfg, _attr))
+            extra = (x, seg) if is_video else ()
+            add(pkey, disc.init(keys[3 + i], gt_x, gt_seg, *extra,
+                                bboxes=bboxes, train=True))
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
 def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
     coarse = registry.build_coarse(cfg)
     track_gen = registry.build_track_gen(cfg) if cfg.track_gen else None
