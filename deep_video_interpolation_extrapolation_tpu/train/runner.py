@@ -1,0 +1,371 @@
+"""Training/validation/cycgen orchestration — the reference's runner layer
+(runners/InterTrainer.py, InterGANTrainer.py, ExtraTrainer.py) redesigned
+for single-program SPMD:
+
+- no process-per-device spawn: ONE Python process drives a
+  ``jax.sharding.Mesh``; the batch is sharded over the ``data`` axis and
+  XLA inserts the gradient/metric reductions the reference got from DDP +
+  ``dist.all_reduce`` (InterTrainer.py:859-864);
+- per-submodel optimizers and train_*/load_* gating match the reference
+  (InterTrainer.py:79-83, 889-960);
+- per-epoch rank-0 checkpointing with the reference's filename contract;
+- tensorboardX scalars/images with the reference's writer naming
+  ``{split}_int_{interval}_len_{vid_len}_{dataset}_logs``
+  (InterTrainer.py:108-112) plus the load/comp wall-time split in logs
+  (InterTrainer.py:375-381).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_video_interpolation_extrapolation_tpu.core.config import Config
+from deep_video_interpolation_extrapolation_tpu.data import datasets as data_lib
+from deep_video_interpolation_extrapolation_tpu.models import registry
+from deep_video_interpolation_extrapolation_tpu.parallel import mesh as mesh_lib
+from deep_video_interpolation_extrapolation_tpu.train import (
+    checkpoint as ckpt_lib,
+    extra as extra_lib,
+    inter as inter_lib,
+    inter_gan as gan_lib,
+    state as state_lib,
+)
+from deep_video_interpolation_extrapolation_tpu.train.common import (
+    get_inter_inputs,
+    init_vgg_frozen,
+)
+from deep_video_interpolation_extrapolation_tpu.train.metrics import MetricBank
+
+logger = logging.getLogger("dvie")
+
+
+def _writer(cfg: Config, exp_dir: str):
+    try:
+        from tensorboardX import SummaryWriter
+    except Exception:  # pragma: no cover - tensorboardX is baked in
+        return None
+    name = f"{cfg.split}_int_{int(cfg.interval)}_len_{cfg.vid_length}_{cfg.dataset}_logs"
+    return SummaryWriter(os.path.join(exp_dir, name))
+
+
+class Runner:
+    """One runner for INTER / INTER-GAN / EXTRA (split by cfg)."""
+
+    def __init__(self, cfg: Config, exp_dir: str):
+        self.cfg = cfg
+        self.exp_dir = exp_dir
+        import math
+        num_data = cfg.num_data_shards
+        if num_data <= 0:
+            # largest data-parallel degree the global batch divides into
+            # (the reference asserts bs % num_gpus == 0; we auto-fit)
+            avail = len(jax.devices()) // max(cfg.num_spatial_shards, 1)
+            num_data = math.gcd(cfg.batch_size, avail) or 1
+        self.mesh = mesh_lib.create_mesh(num_data, cfg.num_spatial_shards)
+        self.is_gan = cfg.model == "InterGANNet"
+        self.epoch = cfg.start_epoch
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+        vid_len = 3
+        if cfg.syn_type == "extra":
+            vid_len = 2 + cfg.num_pred_once * cfg.num_pred_step
+        self.vid_len = vid_len
+
+        self._build_model_and_state()
+        self._maybe_load()
+        self._build_steps()
+        self.writer = _writer(cfg, exp_dir) if jax.process_index() == 0 else None
+
+    # ------------------------------------------------------------- build
+    def _sample_batch(self) -> Dict[str, jnp.ndarray]:
+        from deep_video_interpolation_extrapolation_tpu.data.synthetic import (
+            synthetic_batch,
+        )
+        b = max(self.cfg.batch_size, 1)
+        return {k: jnp.asarray(v) for k, v in synthetic_batch(
+            b, self.cfg.input_h, self.cfg.input_w, vid_len=max(self.vid_len, 3),
+            n_track=self.cfg.num_track_per_img, seed=0).items()}
+
+    def _build_model_and_state(self) -> None:
+        cfg = self.cfg
+        batch = self._sample_batch()
+        self.rng, init_key, noise_key, vgg_key = jax.random.split(self.rng, 4)
+        frozen: Dict[str, Any] = {}
+        if cfg.vgg_weight > 0 or cfg.split in ("val", "test"):
+            frozen["vgg"] = init_vgg_frozen(cfg, vgg_key)
+
+        if self.is_gan:
+            self.model = None
+            variables = gan_lib.init_variables(cfg, init_key, batch)
+        else:
+            self.model = registry.build_model(cfg)
+            if cfg.syn_type == "extra":
+                x = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
+                seg = jnp.concatenate([batch["seg1"], batch["seg2"]], axis=-1)
+                if cfg.fix_init_frames:
+                    x = jnp.concatenate([batch["frame2"], x], axis=-1)
+                    seg = jnp.concatenate([batch["seg2"], seg], axis=-1)
+                gt_x = batch["frame3"]
+                gt_seg = batch["seg3"]
+            else:
+                x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+            variables = self.model.init(
+                {"params": init_key, "noise": noise_key},
+                x, seg, gt_rgb=gt_x, gt_seg=gt_seg, train=True)
+        self.state = state_lib.create_train_state(cfg, variables, frozen=frozen)
+        n_params = sum(
+            np.prod(l.shape) for l in jax.tree_util.tree_leaves(self.state.params))
+        logger.info("model %s: %d params, submodels=%s", cfg.model, n_params,
+                    list(self.state.params.keys()))
+
+    def _maybe_load(self) -> None:
+        cfg = self.cfg
+        wants_load = (cfg.resume or cfg.load_coarse or cfg.load_refine
+                      or cfg.load_stage3 or cfg.load_inpaint
+                      or cfg.load_frame_disc or cfg.load_frame_det_disc
+                      or cfg.load_video_disc or cfg.load_video_det_disc)
+        if not wants_load:
+            return
+        name = ckpt_lib.checkpoint_name(
+            cfg.replace(model=cfg.load_model, session=cfg.checksession),
+            cfg.checkepoch, cfg.checkpoint)
+        path = os.path.join(ckpt_lib.checkpoint_dir(cfg.load_dir), name)
+        ckpt = ckpt_lib.load_checkpoint(path)
+        sel = None if cfg.resume else ckpt_lib.submodels_to_load(cfg)
+        self.state = ckpt_lib.selective_load(self.state, ckpt, submodels=sel)
+        if cfg.resume:
+            assert ckpt["epoch"] - 1 == cfg.checkepoch, (
+                ckpt["epoch"], cfg.checkepoch)
+            self.epoch = ckpt["epoch"]
+        logger.info("loaded checkpoint %s (submodels=%s)", path, sel or "all")
+
+    def _build_steps(self) -> None:
+        cfg = self.cfg
+        if self.is_gan:
+            train_step = gan_lib.make_train_step(cfg)
+            # eval on the coarse (rgb, seg) interface only
+            eval_step = inter_lib.make_eval_step(
+                cfg.replace(model="InterNet"), _GanEvalAdapter(cfg))
+        elif cfg.syn_type == "extra":
+            train_step = extra_lib.make_train_step(cfg, self.model)
+            eval_step = extra_lib.make_eval_step(cfg, self.model)
+        else:
+            train_step = inter_lib.make_train_step(cfg, self.model)
+            eval_step = inter_lib.make_eval_step(cfg, self.model)
+        donate = (0,) if cfg.donate_state else ()
+        self.train_step = jax.jit(train_step, donate_argnums=donate)
+        self.eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------- data
+    def _shard(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for k, v in batch.items():
+            ndim = v.ndim
+            if k.startswith(("frame", "seg")) and ndim == 4:
+                sh = mesh_lib.batch_sharding(
+                    self.mesh, ndim,
+                    spatial_dim=1 if self.cfg.num_spatial_shards > 1 else None)
+            else:
+                sh = mesh_lib.batch_sharding(self.mesh, ndim)
+            out[k] = jax.device_put(jnp.asarray(v), sh)
+        return out
+
+    # ------------------------------------------------------------- train
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        dataset, _ = data_lib.get_dataset(cfg, vid_len=self.vid_len)
+        loader = data_lib.make_loader(cfg, dataset)
+        self.state = jax.device_put(
+            self.state, mesh_lib.replicated_sharding(self.mesh))
+        loader.set_epoch(self.epoch)
+        bank = MetricBank([])
+        load_t = comp_t = 0.0
+        t0 = time.time()
+        last: Dict[str, float] = {}
+        for i, batch in enumerate(loader):
+            batch = self._shard(batch)
+            load_t += time.time() - t0
+            t0 = time.time()
+            self.rng, step_key = jax.random.split(self.rng)
+            self.state, losses = self.train_step(self.state, batch, step_key)
+            losses = {k: float(v) for k, v in losses.items()}
+            comp_t += time.time() - t0
+            bank.update(losses)
+            last = losses
+            if i % cfg.disp_interval == 0:
+                logger.info(
+                    "[epoch %2d][iter %4d] loss: %.4f, load: %.3fs, comp: %.3fs",
+                    self.epoch, i, losses["loss_all"], load_t, comp_t)
+                load_t = comp_t = 0.0
+                if self.writer:
+                    step = self.epoch * len(loader) + i
+                    self.writer.add_scalars("losses", bank.averages(), step)
+                    bank = MetricBank([])
+            t0 = time.time()
+        return last
+
+    def train_epochs(self) -> None:
+        cfg = self.cfg
+        while self.epoch <= cfg.epochs:
+            self.train()
+            if jax.process_index() == 0:
+                ckpt_lib.save_checkpoint(
+                    cfg, self.exp_dir, self.state, self.epoch, 0)
+            self.epoch += 1
+
+    # ------------------------------------------------------------- val
+    def validate(self) -> Dict[str, float]:
+        cfg = self.cfg
+        _, dataset = data_lib.get_dataset(cfg, vid_len=self.vid_len)
+        loader = data_lib.make_loader(cfg, dataset, shuffle=False)
+        self.state = jax.device_put(
+            self.state, mesh_lib.replicated_sharding(self.mesh))
+        bank = MetricBank([])
+        for batch in loader:
+            batch = self._shard(batch)
+            self.rng, step_key = jax.random.split(self.rng)
+            metrics = self.eval_step(self.state, batch, step_key)
+            bank.update({k: float(v) for k, v in metrics.items()},
+                        n=cfg.batch_size)
+        avg = bank.averages()
+        logger.info("[val epoch %d] %s", self.epoch,
+                    " ".join(f"{k}: {v:.4f}" for k, v in avg.items()))
+        if self.writer:
+            for k, v in avg.items():
+                self.writer.add_scalar(f"val/{k}", v, self.epoch)
+        return avg
+
+    def validate_range(self) -> Dict[int, Dict[str, float]]:
+        """--checkepoch_range sweep (main.py:100-106)."""
+        cfg = self.cfg
+        results = {}
+        for ep in range(cfg.checkepoch_low, cfg.checkepoch_up + 1):
+            name = ckpt_lib.checkpoint_name(
+                cfg.replace(model=cfg.load_model, session=cfg.checksession),
+                ep, cfg.checkpoint)
+            path = os.path.join(ckpt_lib.checkpoint_dir(cfg.load_dir), name)
+            if not os.path.exists(path):
+                logger.warning("skip missing checkpoint %s", path)
+                continue
+            ckpt = ckpt_lib.load_checkpoint(path)
+            self.state = ckpt_lib.selective_load(self.state, ckpt)
+            self.epoch = ep
+            results[ep] = self.validate()
+        return results
+
+    # ------------------------------------------------------------- cycgen
+    def cycgen(self) -> str:
+        """Recursive generation + PNG tree writer (InterTrainer.py:691-856).
+
+        Interpolation doubles the frame rate between consecutive frames
+        recursively; extrapolation rolls the window forward.  Saves
+        rgb/seg-id/seg-vis PNG trees under
+        ``<exp>/cycgen/<dataset>/<HxW>/<split>/``.
+        """
+        from PIL import Image
+        from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
+            vis_seg_ids,
+        )
+        cfg = self.cfg
+        out_root = os.path.join(
+            self.exp_dir, "cycgen", cfg.dataset,
+            f"{cfg.input_h}x{cfg.input_w}", cfg.split)
+        os.makedirs(out_root, exist_ok=True)
+
+        dataset, val_ds = data_lib.get_dataset(
+            cfg.replace(split="val"), vid_len=self.vid_len)
+        loader = data_lib.make_loader(
+            cfg.replace(split="val"), val_ds or dataset, shuffle=False)
+
+        def fwd(x, seg):
+            if self.is_gan:
+                model = _GanEvalAdapter(cfg)
+                variables = {"params": self.state.params}
+                if self.state.batch_stats:
+                    variables["batch_stats"] = self.state.batch_stats
+                self.rng, k = jax.random.split(self.rng)
+                out = model.apply(variables, x, seg, train=False,
+                                  rngs={"noise": k})
+            else:
+                variables = {"params": self.state.params}
+                if self.state.batch_stats:
+                    variables["batch_stats"] = self.state.batch_stats
+                self.rng, k = jax.random.split(self.rng)
+                out = self.model.apply(variables, x, seg, train=False,
+                                       rngs={"noise": k})
+            return out[0], out[1]
+
+        fwd = jax.jit(fwd)
+        n_clips = 0
+        for batch in loader:
+            imgs = [jnp.asarray(batch["frame1"]), jnp.asarray(batch["frame3"])]
+            segs = [jnp.asarray(batch["seg1"]), jnp.asarray(batch["seg3"])]
+            if cfg.syn_type == "inter":
+                x = jnp.concatenate(imgs, axis=-1)
+                seg = jnp.concatenate(segs, axis=-1)
+                mid_rgb, mid_seg = fwd(x, seg)
+                frames = [imgs[0], jnp.clip(mid_rgb, -1, 1), imgs[1]]
+                frame_segs = [segs[0],
+                              jax.nn.one_hot(jnp.argmax(mid_seg, -1), 20),
+                              segs[1]]
+            else:
+                frames = list(imgs)
+                frame_segs = list(segs)
+                for _ in range(cfg.num_pred_step):
+                    x = jnp.concatenate(frames[-2:], axis=-1)
+                    seg = jnp.concatenate(frame_segs[-2:], axis=-1)
+                    nxt_rgb, nxt_seg = fwd(x, seg)
+                    frames.append(jnp.clip(nxt_rgb[..., :3], -1, 1))
+                    frame_segs.append(
+                        jax.nn.one_hot(jnp.argmax(nxt_seg[..., :20], -1), 20))
+
+            for b in range(frames[0].shape[0]):
+                clip_dir = os.path.join(out_root, f"clip_{n_clips:05d}")
+                os.makedirs(os.path.join(clip_dir, "rgb"), exist_ok=True)
+                os.makedirs(os.path.join(clip_dir, "seg"), exist_ok=True)
+                os.makedirs(os.path.join(clip_dir, "seg_vis"), exist_ok=True)
+                for t, (fr, sg) in enumerate(zip(frames, frame_segs)):
+                    rgb8 = np.asarray(
+                        (np.asarray(fr[b], np.float32) + 1) * 127.5
+                    ).clip(0, 255).astype(np.uint8)
+                    ids = np.asarray(jnp.argmax(sg[b], -1), np.uint8)
+                    Image.fromarray(rgb8).save(
+                        os.path.join(clip_dir, "rgb", f"{t:03d}.png"))
+                    Image.fromarray(ids).save(
+                        os.path.join(clip_dir, "seg", f"{t:03d}.png"))
+                    vis = (vis_seg_ids(ids) * 255).astype(np.uint8)
+                    Image.fromarray(vis).save(
+                        os.path.join(clip_dir, "seg_vis", f"{t:03d}.png"))
+                n_clips += 1
+            if n_clips >= 61:  # reference caps at 61 val clips (InterTrainer.py:699)
+                break
+        logger.info("cycgen: wrote %d clips under %s", n_clips, out_root)
+        return out_root
+
+
+class _GanEvalAdapter:
+    """Applies the GAN coarse (VAEHRNet) submodel for eval/cycgen, exposing
+    the (rgb, seg) interface the shared eval step expects."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.coarse = registry.build_coarse(cfg)
+
+    def apply(self, variables, x, seg, gt_seg=None, train=False, rngs=None,
+              mutable=False, **kw):
+        sub = {"params": variables["params"]["coarse_model"]}
+        bs = variables.get("batch_stats", {})
+        if bs and "coarse_model" in bs:
+            sub["batch_stats"] = bs["coarse_model"]
+        out = self.coarse.apply(sub, x, seg, train=train, rngs=rngs or {})
+        rgb, seg_logits = out[0], out[1]
+        if mutable:
+            return (rgb, seg_logits), {}
+        return rgb, seg_logits

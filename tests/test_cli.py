@@ -1,0 +1,89 @@
+"""CLI end-to-end: reference-style command lines drive train/val/cycgen.
+
+Mirrors the reference's blessed invocations (SURVEY §2.1) on the synthetic
+dataset at tiny sizes.  Uses the UNet-free HRNet path only through the
+driver entrypoints; here the goal is the orchestration contract: exp dir,
+logging, checkpoints, val sweep, cycgen PNG tree.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from deep_video_interpolation_extrapolation_tpu.cli.main import run
+from deep_video_interpolation_extrapolation_tpu.cli.options import parse_args
+
+
+BASE = ("--dataset synthetic --input_h 32 --input_w 64 --bs 2 --epochs 1 "
+        "--disp_interval 2 --compute_dtype float32")
+
+
+def _cfg(extra: str):
+    return parse_args((BASE + " " + extra).split())
+
+
+class TestOptionsParity:
+    def test_inter_defaults(self):
+        cfg = parse_args(["INTER"])
+        assert cfg.runner == "INTER" and cfg.model == "InterNet"
+        assert cfg.input_h == 128 and cfg.input_w == 256
+        assert cfg.l1_weight == 80 and cfg.ce_weight == 30
+
+    def test_extra_flags(self):
+        cfg = parse_args(
+            "--syn_type extra EXTRA --model ExtraNet --train_coarse "
+            "--num_pred_step 2".split())
+        assert cfg.runner == "EXTRA" and cfg.num_pred_step == 2
+        assert cfg.train_coarse
+
+    def test_disc_family_flags(self):
+        cfg = parse_args(
+            "INTER --model InterGANNet --vae --gan --frame_disc "
+            "--frame_disc_lr 0.002 --frame_disc_d_w 0.5".split())
+        assert cfg.frame_disc and cfg.frame_disc_learning_rate == 0.002
+        assert cfg.frame_disc_disc_weight == 0.5
+
+    def test_reference_cmdline_shape(self):
+        # a reference-style full command parses (SURVEY §2.1 blessed flags)
+        cfg = parse_args(
+            "--dataset cityscape --split train --interval 5 --bs 16 "
+            "--epochs 30 --s 1 --l1_w 80 --gdl_w 80 --vgg_w 20 --ce_w 30 "
+            "--ssim_w 20 INTER --model InterRefineNet --refine "
+            "--refine_model SRNRefine --n_sc 2 --train_coarse --train_refine "
+            "--coarse_lr 0.001 --refine_lr 0.001".split())
+        assert cfg.model == "InterRefineNet" and cfg.n_scales == 2
+
+
+@pytest.mark.parametrize("split_cmd,check", [
+    ("--split train --syn_type inter INTER --model InterNet --train_coarse",
+     "train"),
+])
+def test_cli_train_creates_checkpoint(tmp_path, split_cmd, check):
+    cfg = _cfg(f"--save_dir {tmp_path} " + split_cmd)
+    # swap HRNet for the tiny UNet-compatible path? No: run the real thing
+    # at 32x64 (compile-cached across the suite).
+    run(cfg, exp_dir=str(tmp_path / "exp"))
+    ckpts = glob.glob(str(tmp_path / "exp" / "checkpoint" / "*"))
+    assert len(ckpts) == 1, ckpts
+    assert os.path.basename(ckpts[0]) == "InterNet_xs2xs_inter_0_1_0"
+    log = tmp_path / "exp" / "experiment_train.log"
+    assert log.exists() and "loss" in log.read_text()
+
+
+def test_cli_val(tmp_path):
+    cfg = _cfg("--split val --syn_type inter INTER --model InterNet")
+    metrics = run(cfg, exp_dir=str(tmp_path / "exp"))
+    assert np.isfinite(metrics["coarse_psnr"])
+    assert 0 <= metrics["coarse_iou"] <= 1
+
+
+def test_cli_cycgen_inter(tmp_path):
+    cfg = _cfg("--split cycgen --syn_type inter INTER --model InterNet")
+    out_root = run(cfg, exp_dir=str(tmp_path / "exp"))
+    clips = sorted(glob.glob(os.path.join(out_root, "clip_*")))
+    assert clips, out_root
+    pngs = glob.glob(os.path.join(clips[0], "rgb", "*.png"))
+    assert len(pngs) == 3  # frame1, interpolated, frame3
+    assert glob.glob(os.path.join(clips[0], "seg_vis", "*.png"))
