@@ -47,6 +47,61 @@ from deep_video_interpolation_extrapolation_tpu.models.features import (  # noqa
     VGG19Features,
     ResNet101Features,
 )
+from deep_video_interpolation_extrapolation_tpu.models.detdisc import (  # noqa: F401
+    FrameDetDiscriminator,
+    FrameSNDetDiscriminator,
+    FrameLSSNDetDiscriminator,
+    VideoDetDiscriminator as VideoDetDisc,
+    VideoSNDetDiscriminator,
+    VideoLSSNDetDiscriminator,
+    VideoVecSNDetDiscriminator,
+    VideoPoolSNDetDiscriminator,
+    VideoGlobalZeroSNDetDiscriminator,
+    VideoGlobalMaskSNDetDiscriminator,
+    VideoGlobalCoordSNDetDiscriminator,
+    VideoGlobalResSNDetDiscriminator,
+    VideoLocalPatchSNDetDiscriminator,
+)
+from deep_video_interpolation_extrapolation_tpu.models.legacy_gen import (  # noqa: F401
+    MyFRRN,
+    PSPNet,
+    PSPNetV2,
+    B2SNet,
+    FRRU,
+)
+from deep_video_interpolation_extrapolation_tpu.models.gridnet import (  # noqa: F401
+    GridNet,
+)
+from deep_video_interpolation_extrapolation_tpu.models.legacy_disc import (  # noqa: F401
+    MultiscaleDiscriminator,
+    NLayerDiscriminator,
+    MotionDiscriminator,
+)
+from deep_video_interpolation_extrapolation_tpu.models.vae_video import (  # noqa: F401
+    VAE,
+    VAE_S,
+    VAE_SD,
+    VideoVAE,
+)
+from deep_video_interpolation_extrapolation_tpu.models.legacy_heads import (  # noqa: F401
+    GAN,
+    RefineNet,
+    RefineGAN,
+)
+from deep_video_interpolation_extrapolation_tpu.models.subnets import (  # noqa: F401
+    SegEncoderBN,
+    FlowEncoder,
+    FrameEncoder,
+    FlowDecoder,
+    GateConv3d,
+    GetFlow,
+    GetFrames,
+    GetOcclusionMask,
+    LegacyEncoder,
+    LegacyDecoder,
+    LegacyRefineNet,
+    Flow2FrameWarped,
+)
 from deep_video_interpolation_extrapolation_tpu.models.registry import (  # noqa: F401
     build_model,
 )

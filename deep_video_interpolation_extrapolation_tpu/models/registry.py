@@ -17,16 +17,30 @@ def compute_dtype(cfg: Config):
 
 def build_coarse(cfg: Config, name: Optional[str] = "coarse_model"):
     from deep_video_interpolation_extrapolation_tpu.models.hrnet import HRNet, VAEHRNet
-    kw = dict(
-        syn_type=cfg.syn_type,
-        num_pred_once=cfg.num_pred_once,
-        inpaint=cfg.inpaint,
-        inpaint_mask=cfg.inpaint_mask,
-        highres_large=cfg.highres_large,
-        dtype=compute_dtype(cfg),
-    )
-    cls = {"HRNet": HRNet, "VAEHRNet": VAEHRNet}[cfg.coarse_model]
-    return cls(**kw)
+    d = compute_dtype(cfg)
+    if cfg.coarse_model in ("HRNet", "VAEHRNet"):
+        kw = dict(
+            syn_type=cfg.syn_type,
+            num_pred_once=cfg.num_pred_once,
+            inpaint=cfg.inpaint,
+            inpaint_mask=cfg.inpaint_mask,
+            highres_large=cfg.highres_large,
+            dtype=d,
+        )
+        cls = {"HRNet": HRNet, "VAEHRNet": VAEHRNet}[cfg.coarse_model]
+        return cls(**kw)
+    # legacy coarse generators, addressable by the reference names
+    from deep_video_interpolation_extrapolation_tpu.models import legacy_gen
+    from deep_video_interpolation_extrapolation_tpu.models.unet import UNet, SepUNet
+    legacy = {
+        "MyFRRN": lambda: legacy_gen.MyFRRN(mode=cfg.mode, dtype=d),
+        "PSPNet": lambda: legacy_gen.PSPNet(mode=cfg.mode, dtype=d),
+        "PSPNetV2": lambda: legacy_gen.PSPNetV2(mode=cfg.mode, dtype=d),
+        "B2SNet": lambda: legacy_gen.B2SNet(dtype=d),
+        "UNet": lambda: UNet(dtype=d),
+        "SepUNet": lambda: SepUNet(dtype=d),
+    }
+    return legacy[cfg.coarse_model]()
 
 
 def apply_coarse(cfg: Config, model, rgb, seg, gt_rgb=None, gt_seg=None,
@@ -113,11 +127,29 @@ def build_model(cfg: Config):
     }
     if cfg.model in heads:
         return heads[cfg.model](cfg=cfg)
-    # legacy generators remain addressable by name
+    # legacy generators / heads remain addressable by the reference names
+    from deep_video_interpolation_extrapolation_tpu.models import (
+        gridnet,
+        legacy_gen,
+        legacy_heads,
+        vae_video,
+    )
     from deep_video_interpolation_extrapolation_tpu.models.unet import UNet, SepUNet
+    d = compute_dtype(cfg)
     legacy = {
-        "UNet": lambda: UNet(dtype=compute_dtype(cfg)),
-        "SepUNet": lambda: SepUNet(dtype=compute_dtype(cfg)),
+        "UNet": lambda: UNet(dtype=d),
+        "SepUNet": lambda: SepUNet(dtype=d),
+        "MyFRRN": lambda: legacy_gen.MyFRRN(mode=cfg.mode, dtype=d),
+        "PSPNet": lambda: legacy_gen.PSPNet(mode=cfg.mode, dtype=d),
+        "PSPNetV2": lambda: legacy_gen.PSPNetV2(mode=cfg.mode, dtype=d),
+        "B2SNet": lambda: legacy_gen.B2SNet(dtype=d),
+        "GridNet": lambda: gridnet.GridNet(mode=cfg.mode, dtype=d),
+        "GAN": lambda: legacy_heads.GAN(mode=cfg.mode, dtype=d),
+        "RefineNet": lambda: legacy_heads.RefineNet(cfg=cfg, dtype=d),
+        "RefineGAN": lambda: legacy_heads.RefineGAN(cfg=cfg, dtype=d),
+        "VAE": lambda: vae_video.VAE(vid_length=cfg.vid_length, dtype=d),
+        "VAE_S": lambda: vae_video.VAE_S(vid_length=cfg.vid_length, dtype=d),
+        "VAE_SD": lambda: vae_video.VAE_SD(vid_length=cfg.vid_length, dtype=d),
     }
     if cfg.model in legacy:
         return legacy[cfg.model]()
