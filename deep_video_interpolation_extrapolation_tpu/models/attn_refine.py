@@ -153,11 +153,31 @@ class MSResAttnRefine(nn.Module):
                 f_w = attn_fuse(f_w)
                 b_w = attn_fuse(b_w)
 
-            prob, flow = _corr_probmap(
-                x_e2, f_w, b_w, self.win_h, self.win_w, self.stage3_prop)
-            prob_maps.append(prob)
-            flow_maps.append(flow)
-            agg = window_aggregate([f_e2, b_e2], prob, self.win_h, self.win_w)
+            if self.n_scales == 1 and not self.stage3_prop:
+                # hot path: single-scale attention without prob-map reuse —
+                # one fused VMEM pass (ops/pallas_corr.py) when it fits,
+                # XLA composition otherwise; identical numerics.
+                from deep_video_interpolation_extrapolation_tpu.ops import (
+                    pallas_corr,
+                )
+                bh, bw_, bc = x_e2.shape[1], x_e2.shape[2], x_e2.shape[3]
+                on_tpu = jax.devices()[0].platform == "tpu"
+                if on_tpu and pallas_corr.fits_vmem(bh, bw_, bc, bc):
+                    agg, flow4 = pallas_corr.fused_window_attention(
+                        x_e2, f_w, b_w, f_e2, b_e2, self.win_h, self.win_w)
+                else:
+                    agg, flow4 = pallas_corr.fused_window_attention_reference(
+                        x_e2, f_w, b_w, f_e2, b_e2, self.win_h, self.win_w)
+                flow = jnp.stack(
+                    [flow4[..., 0:2], flow4[..., 2:4]], axis=1)
+                flow_maps.append(flow)
+            else:
+                prob, flow = _corr_probmap(
+                    x_e2, f_w, b_w, self.win_h, self.win_w, self.stage3_prop)
+                prob_maps.append(prob)
+                flow_maps.append(flow)
+                agg = window_aggregate(
+                    [f_e2, b_e2], prob, self.win_h, self.win_w)
             attn_fused = attn_img_fuse(jnp.concatenate([x_e2, agg], axis=-1))
 
             im = img_input(jnp.concatenate([x_in, f_in, b_in], axis=-1))
