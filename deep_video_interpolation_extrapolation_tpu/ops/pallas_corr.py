@@ -135,7 +135,7 @@ def _kernel(q_ref, k1_ref, k2_ref, v1_ref, v2_ref, out_ref, flow_ref,
 
 
 def fits_vmem(h: int, w: int, c: int, cv: int,
-              budget_bytes: int = 12 * 2 ** 20,
+              budget_bytes: int = int(15.5 * 2 ** 20),
               win_h: int = 5, win_w: int = 9) -> bool:
     """Kernel-feasibility guard.
 
