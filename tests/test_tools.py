@@ -1,0 +1,156 @@
+"""Offline tooling + flow visualization + SRN legacy tests."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from deep_video_interpolation_extrapolation_tpu.models import srn_legacy as S
+from deep_video_interpolation_extrapolation_tpu.tools import build_clips, video_tools
+from deep_video_interpolation_extrapolation_tpu.utils.flow_vis import (
+    flow_to_image,
+    make_color_wheel,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestClipBuilders:
+    def _root(self, tmp_path):
+        # fake root clip pkl: 1 clip of 30 frames
+        clips = {"train": [[f"train/scene/f_{i:06d}" for i in range(30)]],
+                 "val": []}
+        p = tmp_path / "root_clip.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(clips, f)
+        return str(p)
+
+    def test_pred_lsclip(self, tmp_path):
+        root = self._root(tmp_path)
+        out = build_clips.create_pred_lsclip(
+            root, str(tmp_path / "o.pkl"), interval=5, vid_len=3)
+        # windows: i in [0, 30 - 10) => 20 clips
+        assert len(out["train"]) == 20
+        first = out["train"][0]
+        assert first == ["train/scene/f_000000", "train/scene/f_000005",
+                         "train/scene/f_000010"]
+
+    def test_interp_lsclip_order(self, tmp_path):
+        root = self._root(tmp_path)
+        out = build_clips.create_interp_lsclip(
+            root, str(tmp_path / "o.pkl"), interval=5)
+        first = out["train"][0]
+        # (first, last, middle) — reference create_vid_file.py:182
+        assert first == ["train/scene/f_000000", "train/scene/f_000010",
+                         "train/scene/f_000005"]
+
+    def test_root_clip_builder(self, tmp_path):
+        d = tmp_path / "imgs" / "train" / "aachen"
+        d.mkdir(parents=True)
+        for i in range(30):
+            Image.new("RGB", (4, 4)).save(
+                d / f"aachen_000000_{i:06d}_leftImg8bit.png")
+        out = build_clips.create_root_clip(
+            str(tmp_path / "imgs"), str(tmp_path / "root.pkl"),
+            scene_dict={"train": ["aachen"]})
+        assert len(out["train"]) == 1 and len(out["train"][0]) == 30
+
+    def test_clean_bbox_max(self, tmp_path):
+        rng = np.random.RandomState(0)
+        boxes = rng.uniform(0, 1, (3, 6, 5)).astype(np.float32)
+        boxes[..., 3:] = boxes[..., 1:3] + 20  # decent areas
+        clips = {"train": [["a", "b", "c"]]}
+        bb = {"train": [boxes]}
+        with open(tmp_path / "bb.pkl", "wb") as f:
+            pickle.dump(bb, f)
+        with open(tmp_path / "cl.pkl", "wb") as f:
+            pickle.dump(clips, f)
+        build_clips.clean_bbox_file_max(
+            str(tmp_path / "bb.pkl"), str(tmp_path / "cl.pkl"),
+            str(tmp_path / "bb2.pkl"), str(tmp_path / "cl2.pkl"),
+            num_box=4, area_thresh=1.0)
+        with open(tmp_path / "bb2.pkl", "rb") as f:
+            nb = pickle.load(f)
+        assert nb["train"][0].shape == (3, 4, 5)
+
+
+class TestVideoTools:
+    def test_resize_and_vid(self, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(4):
+            Image.fromarray(
+                (np.random.RandomState(i).uniform(0, 255, (16, 16, 3))
+                 ).astype(np.uint8)).save(src / f"{i:03d}.png")
+        n = video_tools.resize_images(str(src), str(tmp_path / "dst"), (8, 8))
+        assert n == 4
+        assert np.asarray(Image.open(tmp_path / "dst" / "000.png")).shape == (8, 8, 3)
+        m = video_tools.imgs2vid(str(tmp_path / "dst"), str(tmp_path / "v.avi"))
+        assert m == 4 and os.path.getsize(tmp_path / "v.avi") > 0
+
+    def test_combine_grids(self, tmp_path):
+        for d in ("a", "b"):
+            (tmp_path / d).mkdir()
+            for i in range(2):
+                Image.new("RGB", (8, 8)).save(tmp_path / d / f"{i}.png")
+        n = video_tools.combine_grids(
+            [str(tmp_path / "a"), str(tmp_path / "b")],
+            str(tmp_path / "g.avi"))
+        assert n == 2
+
+
+class TestFlowVis:
+    def test_wheel_shape(self):
+        assert make_color_wheel().shape == (55, 3)
+
+    def test_flow_image(self):
+        flow = np.zeros((8, 8, 2), np.float32)
+        flow[..., 0] = 1.0
+        img = flow_to_image(flow)
+        assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+        # uniform flow -> uniform color
+        assert np.all(img == img[0, 0])
+
+
+class TestSRNLegacy:
+    def test_srn4(self):
+        m = S.SRN4(n_scales=2, dtype=jnp.float32)
+        x = jnp.zeros((1, 16, 32, 3))
+        v = m.init(KEY, x)
+        preds, feat, _ = m.apply(v, x)
+        assert len(preds) == 2
+        assert preds[-1].shape == (1, 16, 32, 3)
+        assert preds[0].shape == (1, 8, 16, 3)
+
+    def test_srn4_seg_and_sharp(self):
+        seg = jnp.zeros((1, 16, 32, 20))
+        m = S.SRN4Seg(n_scales=1, dtype=jnp.float32)
+        x = jnp.zeros((1, 16, 32, 3))
+        v = m.init(KEY, x, seg)
+        preds, _, _ = m.apply(v, x, seg)
+        assert preds[-1].shape == (1, 16, 32, 3)
+
+        m2 = S.SRN4Sharp(n_scales=1, dtype=jnp.float32)
+        nb = jnp.zeros((1, 16, 32, 6))
+        v2 = m2.init(KEY, x, None, nb)
+        preds2, _, _ = m2.apply(v2, x, None, nb)
+        assert preds2[-1].shape == (1, 16, 32, 3)
+
+    def test_attn_refine(self):
+        m = S.AttnRefine(dtype=jnp.float32)
+        x = jnp.zeros((1, 16, 32, 3))
+        nb = jnp.zeros((1, 16, 32, 6))
+        v = m.init(KEY, x, neighbors=nb)
+        out = m.apply(v, x, neighbors=nb)
+        assert out.shape == (1, 16, 32, 3)
+
+    def test_ms_base_refine(self):
+        m = S.MSBaseRefine(dtype=jnp.float32)
+        x = jnp.zeros((1, 16, 32, 3))
+        v = m.init(KEY, x)
+        out = m.apply(v, x)
+        assert out.shape == (1, 16, 32, 3)
