@@ -78,10 +78,44 @@ def get_dataset(cfg: Config, vid_len: int = 3):
                 bboxes=boxes["val"] if boxes else None, split="val")
         return train, val
 
-    if cfg.dataset in ("ucf101", "vimeo"):
-        # val-only xx2x paths in the reference (data.py:75-137)
-        raise NotImplementedError(
-            f"dataset {cfg.dataset}: supply clips via ClipDataset directly")
+    if cfg.dataset == "ucf101":
+        # val-only xx2x triplets from a pickled clip list (data.py:75-93)
+        from deep_video_interpolation_extrapolation_tpu.data.folder import (
+            TripletDataset,
+        )
+        root = cfg.img_dir or os.path.join(data_root(), "ucf101_interp_ours")
+        clip_path = os.path.join(
+            os.path.dirname(root.rstrip("/")), "UCF101_test_root_clip.pkl")
+        with open(clip_path, "rb") as f:
+            clips = pickle.load(f)["test"]
+        val = TripletDataset(cfg, clips, root, style="ucf101",
+                             resize=(256, 256))
+        return None, val
+
+    if cfg.dataset == "vimeo":
+        # tri_trainlist/tri_testlist of triplet dirs (data.py:95-137)
+        from deep_video_interpolation_extrapolation_tpu.data.folder import (
+            TripletDataset,
+        )
+        root = cfg.img_dir or os.path.join(data_root(), "vimeo_triplet")
+        seq_dir = os.path.join(root, "sequences")
+
+        def read_list(name):
+            rows = []
+            with open(os.path.join(root, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if len(line) < 4:
+                        break
+                    rows.append(line)
+            return rows
+
+        train = val = None
+        if cfg.split == "train":
+            train = TripletDataset(cfg, read_list("tri_trainlist.txt"), seq_dir)
+        if cfg.split == "val":
+            val = TripletDataset(cfg, read_list("tri_testlist.txt"), seq_dir)
+        return train, val
     raise KeyError(cfg.dataset)
 
 

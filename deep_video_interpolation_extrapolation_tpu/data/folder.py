@@ -203,6 +203,51 @@ class ClipDataset:
         return out
 
 
+class TripletDataset:
+    """UCF101 / Vimeo-triplet frame datasets (reference data.py:75-137,
+    folder.py:99-104,152-156,284-290): xx2x evaluation sets with no
+    segmentation — seg slots carry fixed-shape zero one-hots so the jitted
+    step keeps a single signature across datasets.
+
+    ``clips`` entries are either 3 frame paths (ucf101 pkl rows) or a single
+    triplet dir (vimeo ``tri_*list.txt`` rows, frames ``im1..3.png``).
+    """
+
+    def __init__(self, cfg, clips: Sequence, img_dir: str,
+                 style: str = "vimeo", resize=None):
+        self.cfg = cfg
+        self.clips = list(clips)
+        self.img_dir = img_dir
+        self.style = style
+        self.resize = resize  # (w, h) or None
+
+    def __len__(self):
+        return len(self.clips)
+
+    def sample(self, index: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        from PIL import Image
+        entry = self.clips[index]
+        if self.style == "vimeo":
+            paths = [os.path.join(self.img_dir, entry, f"im{i + 1}.png")
+                     for i in range(3)]
+        else:  # ucf101: explicit 3-frame rows
+            paths = [os.path.join(self.img_dir, p) for p in entry]
+        out: Dict[str, np.ndarray] = {}
+        for i, p in enumerate(paths):
+            with open(p, "rb") as f:
+                img = Image.open(f).convert("RGB")
+            if self.resize is not None:
+                img = img.resize(self.resize, Image.BILINEAR)
+            arr = np.asarray(img, np.float32) / 255.0
+            out[f"frame{i + 1}"] = (arr - 0.5) / 0.5
+            h, w = arr.shape[:2]
+            out[f"seg{i + 1}"] = np.zeros((h, w, N_CLASSES), np.float32)
+        out["bboxes"] = np.tile(
+            np.array([0.0, 0.0, h - 1.0, w - 1.0], np.float32),
+            (3, self.cfg.num_track_per_img, 1))
+        return out
+
+
 class Loader:
     """Epoch-seeded shuffling batcher (DistributedSampler.set_epoch
     semantics, runners/InterTrainer.py:117-120)."""
