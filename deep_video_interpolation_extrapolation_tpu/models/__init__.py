@@ -102,6 +102,17 @@ from deep_video_interpolation_extrapolation_tpu.models.subnets import (  # noqa:
     LegacyRefineNet,
     Flow2FrameWarped,
 )
+from deep_video_interpolation_extrapolation_tpu.models.srn_legacy import (  # noqa: F401
+    SRN4,
+    SRN4Seg,
+    SRN4Sharp,
+    HResUnet,
+    AttnRefine,
+    AttnBaseRefine,
+    MSConv2d,
+    MSResnetBlock,
+    MSBaseRefine,
+)
 from deep_video_interpolation_extrapolation_tpu.models.registry import (  # noqa: F401
     build_model,
 )

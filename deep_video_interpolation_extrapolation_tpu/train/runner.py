@@ -82,6 +82,7 @@ class Runner:
         self._maybe_load()
         self._build_steps()
         self.writer = _writer(cfg, exp_dir) if jax.process_index() == 0 else None
+        self._viz_fwd = None
 
     # ------------------------------------------------------------- build
     def _sample_batch(self) -> Dict[str, jnp.ndarray]:
@@ -178,6 +179,45 @@ class Runner:
         return out
 
     # ------------------------------------------------------------- train
+    def _log_images(self, batch, step: int) -> None:
+        """Input/pred/GT + seg-vis grid every 30 steps
+        (InterTrainer.py:499-513)."""
+        if not self.writer:
+            return
+        from deep_video_interpolation_extrapolation_tpu.utils.vis import (
+            make_grid,
+            seg_to_rgb,
+            to01,
+        )
+        if self._viz_fwd is None:
+            if self.is_gan:
+                model = _GanEvalAdapter(self.cfg)
+            else:
+                model = self.model
+
+            def fwd(params, bs, x, seg, key):
+                variables = {"params": params}
+                if bs:
+                    variables["batch_stats"] = bs
+                out = model.apply(variables, x, seg, train=False,
+                                  rngs={"noise": key})
+                return out[0], out[1]
+            self._viz_fwd = jax.jit(fwd)
+        x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
+        seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
+        self.rng, k = jax.random.split(self.rng)
+        pred_rgb, pred_seg = self._viz_fwd(
+            self.state.params, self.state.batch_stats, x, seg, k)
+        row = make_grid([
+            to01(np.asarray(batch["frame1"][0], np.float32)),
+            to01(np.asarray(pred_rgb[0], np.float32)),
+            to01(np.asarray(batch["frame2"][0], np.float32)),
+            to01(np.asarray(batch["frame3"][0], np.float32)),
+            seg_to_rgb(np.asarray(pred_seg[0], np.float32)),
+            seg_to_rgb(np.asarray(batch["seg2"][0], np.float32)),
+        ])
+        self.writer.add_image("train/in_pred_gt", row, step)
+
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
         dataset, _ = data_lib.get_dataset(cfg, vid_len=self.vid_len)
@@ -189,7 +229,10 @@ class Runner:
         load_t = comp_t = 0.0
         t0 = time.time()
         last: Dict[str, float] = {}
+        profile_dir = os.environ.get("DVIE_PROFILE_DIR")
         for i, batch in enumerate(loader):
+            if profile_dir and i == 2:
+                jax.profiler.start_trace(profile_dir)
             batch = self._shard(batch)
             load_t += time.time() - t0
             t0 = time.time()
@@ -199,6 +242,9 @@ class Runner:
             comp_t += time.time() - t0
             bank.update(losses)
             last = losses
+            if profile_dir and i == 6:
+                jax.profiler.stop_trace()
+                profile_dir = None
             if i % cfg.disp_interval == 0:
                 logger.info(
                     "[epoch %2d][iter %4d] loss: %.4f, load: %.3fs, comp: %.3fs",
@@ -208,6 +254,9 @@ class Runner:
                     step = self.epoch * len(loader) + i
                     self.writer.add_scalars("losses", bank.averages(), step)
                     bank = MetricBank([])
+            if (self.writer and cfg.syn_type == "inter" and i % 30 == 0
+                    and cfg.dataset != "synthetic"):
+                self._log_images(batch, self.epoch * len(loader) + i)
             t0 = time.time()
         return last
 

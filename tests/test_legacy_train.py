@@ -1,0 +1,102 @@
+"""Legacy runner train-step tests (GANer/VAEer/Trainer equivalents)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_video_interpolation_extrapolation_tpu.core.config import Config
+from deep_video_interpolation_extrapolation_tpu.models.legacy_gen import MyFRRN
+from deep_video_interpolation_extrapolation_tpu.models.legacy_heads import GAN
+from deep_video_interpolation_extrapolation_tpu.models.vae_video import VideoVAE
+from deep_video_interpolation_extrapolation_tpu.train import legacy as L
+
+H, W, B = 16, 32, 1
+KEY = jax.random.PRNGKey(0)
+
+
+def _cfg(**kw):
+    base = dict(runner="INTER", model="InterNet", syn_type="inter",
+                mode="xs2xs", compute_dtype="float32",
+                input_h=H, input_w=W, batch_size=B)
+    base.update(kw)
+    return Config(**base)
+
+
+def _inter_batch(seed=0):
+    rng = np.random.RandomState(seed)
+    b = {}
+    for i in range(3):
+        b[f"frame{i + 1}"] = jnp.asarray(
+            rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+        b[f"seg{i + 1}"] = jnp.asarray(
+            np.eye(20, dtype=np.float32)[rng.randint(0, 20, (B, H, W))])
+    return b
+
+
+def test_legacy_gan_step():
+    cfg = _cfg()
+    model = GAN(net_d="multi_scale_img_seg", num_d=2, dtype=jnp.float32)
+    batch = _inter_batch()
+    x = jnp.concatenate([batch["frame1"], batch["frame3"]], -1)
+    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], -1)
+    variables = model.init(KEY, x, seg, batch["frame2"], batch["seg2"], train=True)
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+    opts = L.init_gan_opt_states(cfg, params)
+    step = jax.jit(L.make_gan_train_step(cfg, model))
+    new_params, new_opts, new_bs, losses = step(
+        params, opts, bs, batch, jax.random.PRNGKey(1))
+    for k in ("gen_l1_loss", "gen_ce_loss", "disc_loss", "gen_gan_loss"):
+        assert np.isfinite(float(losses[k])), k
+    # both nets moved
+    for net in ("netG", "netD"):
+        a = jax.tree_util.tree_leaves(params[net])
+        b = jax.tree_util.tree_leaves(new_params[net])
+        assert any(not np.array_equal(np.asarray(x_), np.asarray(y_))
+                   for x_, y_ in zip(a, b)), net
+
+
+def test_legacy_vae_step():
+    t, h, w = 1, 32, 32
+    cfg = _cfg(vid_length=t)
+    model = VideoVAE(vid_length=t, variant="vae", refine=False,
+                     dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    batch = {
+        "frames": jnp.asarray(rng.uniform(0, 1, (B, t + 1, h, w, 3)), jnp.float32),
+        "segs": jnp.asarray(
+            np.eye(20, dtype=np.float32)[rng.randint(0, 20, (B, t + 1, h, w))]),
+        "fg_masks": jnp.asarray(rng.randint(0, 2, (B, t + 1, h, w, 1)), jnp.float32),
+    }
+    batch["bg_masks"] = 1 - batch["fg_masks"]
+    variables = model.init(
+        {"params": KEY, "noise": jax.random.PRNGKey(1)},
+        batch["frames"], batch["segs"], batch["bg_masks"], batch["fg_masks"],
+        train=True)
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    tx_state = None
+    import optax
+    from deep_video_interpolation_extrapolation_tpu.train import state as st
+    tx_state = st.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate).init(params)
+    step = jax.jit(L.make_vae_train_step(cfg, model))
+    new_params, new_opt, new_bs, losses = step(
+        params, tx_state, bs, batch, jax.random.PRNGKey(2))
+    for k in ("recon_warp_loss", "kld_loss", "flow_consist_loss", "loss_all"):
+        assert np.isfinite(float(losses[k])), k
+
+
+def test_legacy_simple_step():
+    cfg = _cfg()
+    model = MyFRRN(mode="xs2xs", dtype=jnp.float32)
+    batch = _inter_batch()
+    x = jnp.concatenate([batch["frame1"], batch["frame3"]], -1)
+    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], -1)
+    variables = model.init(KEY, x, seg, train=True)
+    params = variables["params"]
+    from deep_video_interpolation_extrapolation_tpu.train import state as st
+    opt = st.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate).init(params)
+    step = jax.jit(L.make_simple_train_step(cfg, model))
+    p1, o1, _, losses1 = step(params, opt, {}, batch, jax.random.PRNGKey(0))
+    for _ in range(5):
+        p1, o1, _, losses = step(p1, o1, {}, batch, jax.random.PRNGKey(0))
+    assert float(losses["loss_all"]) < float(losses1["loss_all"])
