@@ -25,7 +25,15 @@ def lrelu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
 
 
 class Conv(nn.Module):
-    """torch-style Conv2d: symmetric int padding, optional dilation."""
+    """torch-style Conv2d: symmetric int padding, optional dilation.
+
+    Owns its params directly (fp32 masters, cast to ``dtype`` for compute,
+    flax nn.Conv semantics).  Stride-1 3x3 convs with <=64 channels on
+    large-width inputs automatically route through the width-packed
+    formulation (ops/packed_conv.py) on TPU — bit-identical math that packs
+    width-parity into channels so the MXU sees 128-wide lanes (~1.4-2x at
+    HRNet's full-resolution shapes).
+    """
     features: int
     kernel: int = 3
     stride: int = 1
@@ -33,19 +41,52 @@ class Conv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    # input/output tensors already carry the width-packed (B,H,W/2,2C)
+    # layout — requires kernel=3, stride=1, dilation=1.  Parameters stay in
+    # the logical (3,3,C,O) layout either way (checkpoint-compatible).
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x):
+        import jax
+        import jax.lax
+
         pad = self.padding if self.padding is not None else (self.kernel // 2) * self.dilation
-        return nn.Conv(
-            self.features,
-            kernel_size=(self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-        )(x)
+        cin = x.shape[-1] // (2 if self.packed_io else 1)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        ) if self.use_bias else None
+
+        dt = self.dtype or x.dtype
+        xd = x.astype(dt)
+        kd = kernel.astype(dt)
+        bd = bias.astype(dt) if bias is not None else None
+
+        if self.packed_io:
+            assert (self.kernel, self.stride, self.dilation) == (3, 1, 1)
+            from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+                pack_kernel_3x3,
+            )
+            out = jax.lax.conv_general_dilated(
+                xd, pack_kernel_3x3(kd), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt)
+            if bd is not None:
+                out = out + jnp.tile(bd, 2)
+            return out
+
+        out = jax.lax.conv_general_dilated(
+            xd, kd, (self.stride, self.stride),
+            ((pad, pad), (pad, pad)),
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt)
+        if bd is not None:
+            out = out + bd
+        return out
 
 
 class ConvT(nn.Module):
@@ -71,15 +112,29 @@ class ConvT(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """2x conv3x3 residual block, LeakyReLU(0.2), no BN (nets/HRNet.py:15-44)."""
+    """2x conv3x3 residual block, LeakyReLU(0.2), no BN (nets/HRNet.py:15-44).
+
+    ``packed_io=True`` runs the whole block in the width-packed layout
+    (caller packs once per chain; see ops/packed_conv.py) — only valid when
+    stride==1 and channels already match.
+    """
     features: int
     stride: int = 1
     downsample: bool = False
     dtype: Optional[Dtype] = None
     expansion: int = 1
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.packed_io:
+            assert self.stride == 1 and x.shape[-1] == 2 * self.features
+            out = Conv(self.features, 3, 1, use_bias=False, dtype=self.dtype,
+                       packed_io=True)(x)
+            out = lrelu(out)
+            out = Conv(self.features, 3, 1, use_bias=False, dtype=self.dtype,
+                       packed_io=True)(out)
+            return lrelu(out + x)
         residual = x
         out = Conv(self.features, 3, self.stride, use_bias=False, dtype=self.dtype)(x)
         out = lrelu(out)

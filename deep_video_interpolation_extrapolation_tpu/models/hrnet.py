@@ -57,11 +57,28 @@ class HighResolutionModule(nn.Module):
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]):
+        import jax as _jax
         ys = []
         for i in range(self.num_branches):
             h = xs[i]
+            # full-resolution 64-ch branch: run the whole block chain in the
+            # width-packed layout (one relayout in, one out) so each conv
+            # sees 128 MXU lanes (ops/packed_conv.py; exact math).
+            packable = (
+                self.num_channels[i] == 64 and h.shape[2] % 2 == 0
+                and h.shape[2] >= 128 and h.shape[-1] == 64
+                and _jax.default_backend() == "tpu")
+            if packable:
+                from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+                    pack_w,
+                    unpack_w,
+                )
+                h = pack_w(h)
             for _ in range(self.num_blocks[i]):
-                h = BasicBlock(self.num_channels[i], dtype=self.dtype)(h)
+                h = BasicBlock(self.num_channels[i], dtype=self.dtype,
+                               packed_io=packable)(h)
+            if packable:
+                h = unpack_w(h)
             ys.append(h)
         if self.num_branches == 1:
             return ys
