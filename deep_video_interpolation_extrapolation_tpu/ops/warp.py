@@ -117,23 +117,28 @@ def backward_warp(
     x: jnp.ndarray,
     flow: jnp.ndarray,
     use_pallas: Optional[bool] = None,
+    max_disp: int = 8,
 ) -> jnp.ndarray:
     """Warp ``x`` (NHWC) backward by ``flow`` (B, H, W, 2 normalized units).
 
     ``out(p) = x(base_grid(p) - flow(p))`` — reference FlowWrapper
     (utils/net_utils.py:109-114).  Flow channel 0 displaces x (width), 1
     displaces y (height), in normalized [-1, 1] grid units.
+
+    ``use_pallas=True`` routes through the roll-accumulate TPU kernel
+    (ops/pallas_warp.py): exact for displacements within ``max_disp``
+    pixels and ~6.5x faster than the XLA gather at 8x512x1024 (22.8 vs
+    148.5 ms measured on v5e); displacements beyond the window yield 0.
+    Default stays on the exact unbounded XLA path.
     """
     b, h, w, _ = x.shape
     base = make_base_grid(h, w, dtype=jnp.float32)[None]
     grid = base - flow.astype(jnp.float32)
-    if use_pallas is None:
-        use_pallas = False
     if use_pallas:
         from deep_video_interpolation_extrapolation_tpu.ops.pallas_warp import (
             grid_sample_pallas,
         )
-        return grid_sample_pallas(x, grid)
+        return grid_sample_pallas(x, grid, max_disp=max_disp)
     return grid_sample(x, grid)
 
 
