@@ -58,10 +58,18 @@ def main():
     @jax.jit
     def forward_loop(rgb, seg):
         def step(carry, _):
-            out_rgb, _out_seg = model.apply(variables, carry, seg, train=False)
-            nxt = jnp.concatenate([out_rgb, out_rgb], axis=-1).astype(carry.dtype)
-            return nxt, None
-        final, _ = jax.lax.scan(step, rgb, None, length=iters)
+            cur_rgb, cur_seg = carry
+            out_rgb, out_seg = model.apply(variables, cur_rgb, cur_seg,
+                                           train=False)
+            nxt_rgb = jnp.concatenate(
+                [out_rgb, out_rgb], axis=-1).astype(cur_rgb.dtype)
+            # feed the predicted seg back too so the seg-encoder stays inside
+            # the measured loop (a constant seg would be hoisted out)
+            oh = jax.nn.one_hot(
+                jnp.argmax(out_seg, -1), 20, dtype=cur_seg.dtype)
+            nxt_seg = jnp.concatenate([oh, oh], axis=-1)
+            return (nxt_rgb, nxt_seg), None
+        (final, _), _ = jax.lax.scan(step, (rgb, seg), None, length=iters)
         return jnp.sum(final.astype(jnp.float32))
 
     # warmup + compile

@@ -41,10 +41,11 @@ class Conv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
-    # input/output tensors already carry the width-packed (B,H,W/2,2C)
-    # layout — requires kernel=3, stride=1, dilation=1.  Parameters stay in
-    # the logical (3,3,C,O) layout either way (checkpoint-compatible).
-    packed_io: bool = False
+    # input/output tensors already carry the width-packed (B,H,W/f,f*C)
+    # layout with this factor — requires kernel=3, stride=1, dilation=1.
+    # Parameters stay in the logical (3,3,C,O) layout either way
+    # (checkpoint-compatible).  0 = normal layout.
+    packed_io: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +53,8 @@ class Conv(nn.Module):
         import jax.lax
 
         pad = self.padding if self.padding is not None else (self.kernel // 2) * self.dilation
-        cin = x.shape[-1] // (2 if self.packed_io else 1)
+        f = int(self.packed_io)
+        cin = x.shape[-1] // (f if f else 1)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (self.kernel, self.kernel, cin, self.features), jnp.float32)
@@ -65,17 +67,17 @@ class Conv(nn.Module):
         kd = kernel.astype(dt)
         bd = bias.astype(dt) if bias is not None else None
 
-        if self.packed_io:
+        if f:
             assert (self.kernel, self.stride, self.dilation) == (3, 1, 1)
             from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
                 pack_kernel_3x3,
             )
             out = jax.lax.conv_general_dilated(
-                xd, pack_kernel_3x3(kd), (1, 1), "SAME",
+                xd, pack_kernel_3x3(kd, f), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=dt)
             if bd is not None:
-                out = out + jnp.tile(bd, 2)
+                out = out + jnp.tile(bd, f)
             return out
 
         out = jax.lax.conv_general_dilated(
@@ -114,26 +116,27 @@ class ConvT(nn.Module):
 class BasicBlock(nn.Module):
     """2x conv3x3 residual block, LeakyReLU(0.2), no BN (nets/HRNet.py:15-44).
 
-    ``packed_io=True`` runs the whole block in the width-packed layout
-    (caller packs once per chain; see ops/packed_conv.py) — only valid when
-    stride==1 and channels already match.
+    ``packed_io=f`` runs the whole block in the width-packed layout at
+    factor f (caller packs once per chain; see ops/packed_conv.py) — only
+    valid when stride==1 and channels already match.
     """
     features: int
     stride: int = 1
     downsample: bool = False
     dtype: Optional[Dtype] = None
     expansion: int = 1
-    packed_io: bool = False
+    packed_io: int = 0
 
     @nn.compact
     def __call__(self, x):
         if self.packed_io:
-            assert self.stride == 1 and x.shape[-1] == 2 * self.features
+            f = int(self.packed_io)
+            assert self.stride == 1 and x.shape[-1] == f * self.features
             out = Conv(self.features, 3, 1, use_bias=False, dtype=self.dtype,
-                       packed_io=True)(x)
+                       packed_io=f)(x)
             out = lrelu(out)
             out = Conv(self.features, 3, 1, use_bias=False, dtype=self.dtype,
-                       packed_io=True)(out)
+                       packed_io=f)(out)
             return lrelu(out + x)
         residual = x
         out = Conv(self.features, 3, self.stride, use_bias=False, dtype=self.dtype)(x)
@@ -185,17 +188,39 @@ class ResnetBlock(nn.Module):
 
 
 class SegEncoder(nn.Module):
-    """20-class one-hot -> 4-ch embedding (nets/HRNet.py:358-364)."""
+    """20-class one-hot -> 4-ch embedding (nets/HRNet.py:358-364).
+
+    The 20/32/4-channel convs waste >75% of the MXU lanes at full
+    resolution; on TPU with wide inputs the whole chain runs width-packed
+    at factor 4 (80/128/16 channels, ~4x fewer padded-lane FLOPs,
+    bit-identical — see ops/packed_conv.py).  Param layout is unchanged.
+    """
     encode_dim: int = 4
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, seg):
-        x = Conv(32, 3, dtype=self.dtype)(seg)
+        import jax as _jax
+        f = 4
+        packed = (seg.ndim == 4 and seg.shape[2] % f == 0
+                  and seg.shape[2] >= 256
+                  and _jax.default_backend() == "tpu")
+        pf = f if packed else 0
+        x = seg
+        if packed:
+            from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+                pack_w,
+                unpack_w,
+            )
+            x = pack_w(x, f)
+        x = Conv(32, 3, dtype=self.dtype, packed_io=pf)(x)
         x = nn.elu(x)
-        x = Conv(32, 3, dtype=self.dtype)(x)
+        x = Conv(32, 3, dtype=self.dtype, packed_io=pf)(x)
         x = nn.elu(x)
-        return Conv(self.encode_dim, 3, dtype=self.dtype)(x)
+        x = Conv(self.encode_dim, 3, dtype=self.dtype, packed_io=pf)(x)
+        if packed:
+            x = unpack_w(x, f)
+        return x
 
 
 class ConvLReLU(nn.Module):

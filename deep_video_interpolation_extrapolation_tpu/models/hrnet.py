@@ -73,12 +73,12 @@ class HighResolutionModule(nn.Module):
                     pack_w,
                     unpack_w,
                 )
-                h = pack_w(h)
+                h = pack_w(h, 2)
             for _ in range(self.num_blocks[i]):
                 h = BasicBlock(self.num_channels[i], dtype=self.dtype,
-                               packed_io=packable)(h)
+                               packed_io=2 if packable else 0)(h)
             if packable:
-                h = unpack_w(h)
+                h = unpack_w(h, 2)
             ys.append(h)
         if self.num_branches == 1:
             return ys

@@ -36,64 +36,57 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-def pack_w(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H, W/2, 2C); bitwise identity."""
+def pack_w(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/f, f*C); bitwise identity in logical order."""
     b, h, w, c = x.shape
-    assert w % 2 == 0, w
-    return x.reshape(b, h, w // 2, 2 * c)
+    assert w % factor == 0, (w, factor)
+    return x.reshape(b, h, w // factor, factor * c)
 
 
-def unpack_w(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W2, 2C) -> (B, H, 2*W2, C); bitwise identity."""
-    b, h, w2, c2 = x.shape
-    return x.reshape(b, h, w2 * 2, c2 // 2)
+def unpack_w(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(B, H, Wf, f*C) -> (B, H, f*Wf, C); bitwise identity."""
+    b, h, wf, cf = x.shape
+    return x.reshape(b, h, wf * factor, cf // factor)
 
 
-def pack_kernel_3x3(k: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, C, O) logical -> (3, 3, 2C, 2O) packed with structured zeros."""
+def pack_kernel_3x3(k: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(3, 3, C, O) logical -> (3, 3, f*C, f*O) packed with structured zeros.
+
+    Packed tap KX and phases (a_i in, a_o out) carry the logical horizontal
+    tap dx = f*(KX-1) + a_i - a_o when |dx| <= 1, else zero: output pixel
+    f*j + a_o reads absolute column f*(j + KX - 1) + a_i.
+    """
     kh, kw, c, o = k.shape
     assert kh == 3 and kw == 3, (kh, kw)
-    z = jnp.zeros((c, o), k.dtype)
-
-    def cell(kx_phase_pairs):
-        """kx_phase_pairs: ((in_phase0_tap|None), (in_phase1_tap|None)) per
-        out phase -> assemble a (2C, 2O) block for one packed tap."""
-        blocks = []
-        for in_phase in (0, 1):
-            row = []
-            for out_phase in (0, 1):
-                tap = kx_phase_pairs[out_phase][in_phase]
-                row.append(k[:, tap] if tap is not None else z[None].repeat(3, 0))
-                # note: k[:, tap] is (3, C, O) over ky
-            blocks.append(row)
-        # blocks[in_phase][out_phase]: (3, C, O)
-        top = jnp.concatenate([blocks[0][0], blocks[0][1]], axis=-1)
-        bot = jnp.concatenate([blocks[1][0], blocks[1][1]], axis=-1)
-        return jnp.concatenate([top, bot], axis=-2)  # (3, 2C, 2O)
-
-    # packed tap kx=0 (col j-1): out0 <- in-phase1 @ logical kx0
-    t0 = cell(((None, 0), (None, None)))
-    # packed tap kx=1 (col j): out0 <- (in0@kx1, in1@kx2); out1 <- (in0@kx0, in1@kx1)
-    t1 = cell(((1, 2), (0, 1)))
-    # packed tap kx=2 (col j+1): out1 <- in-phase0 @ logical kx2
-    t2 = cell(((None, None), (2, None)))
-    return jnp.stack([t0, t1, t2], axis=1)  # (3, 3, 2C, 2O)
+    f = factor
+    z = jnp.zeros((3, c, o), k.dtype)
+    taps = []
+    for kx in range(3):
+        rows = []
+        for a_i in range(f):
+            cols = []
+            for a_o in range(f):
+                dx = f * (kx - 1) + a_i - a_o
+                cols.append(k[:, dx + 1] if -1 <= dx <= 1 else z)
+            rows.append(jnp.concatenate(cols, axis=-1))     # (3, C, f*O)
+        taps.append(jnp.concatenate(rows, axis=-2))         # (3, f*C, f*O)
+    return jnp.stack(taps, axis=1)                          # (3, 3, f*C, f*O)
 
 
 def conv3x3_wpacked(x: jnp.ndarray, k: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
-                    preferred_dtype=None) -> jnp.ndarray:
+                    preferred_dtype=None, factor: int = 2) -> jnp.ndarray:
     """Exact stride-1 SAME 3x3 conv computed in the width-packed layout.
 
-    x: (B, H, W, C) with W even; k: (3, 3, C, O) logical kernel.
+    x: (B, H, W, C) with W % factor == 0; k: (3, 3, C, O) logical kernel.
     """
-    xp = pack_w(x)
-    kp = pack_kernel_3x3(k)
+    xp = pack_w(x, factor)
+    kp = pack_kernel_3x3(k, factor)
     out = jax.lax.conv_general_dilated(
         xp, kp, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_dtype or x.dtype)
-    out = unpack_w(out)
+    out = unpack_w(out, factor)
     if bias is not None:
         out = out + bias
     return out

@@ -23,8 +23,9 @@ def test_pack_roundtrip_is_identity():
     np.testing.assert_array_equal(np.asarray(unpack_w(pack_w(x))), np.asarray(x))
 
 
+@pytest.mark.parametrize("factor", [2, 4])
 @pytest.mark.parametrize("shape", [(1, 6, 8, 4, 5), (2, 8, 16, 8, 8)])
-def test_packed_conv_exact(shape):
+def test_packed_conv_exact(shape, factor):
     b, h, w, c, o = shape
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.uniform(-1, 1, (b, h, w, c)), jnp.float32)
@@ -32,7 +33,7 @@ def test_packed_conv_exact(shape):
     bias = jnp.asarray(rng.uniform(-0.1, 0.1, (o,)), jnp.float32)
 
     ref = _conv_ref(x, k) + bias
-    out = conv3x3_wpacked(x, k, bias)
+    out = conv3x3_wpacked(x, k, bias, factor=factor)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
@@ -46,7 +47,7 @@ def test_packed_basicblock_matches_plain():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.uniform(-1, 1, (1, 4, 8, 4)), jnp.float32)
     plain = BasicBlock(4, dtype=jnp.float32)
-    packed = BasicBlock(4, dtype=jnp.float32, packed_io=True)
+    packed = BasicBlock(4, dtype=jnp.float32, packed_io=2)
     v = plain.init(jax.random.PRNGKey(0), x)
     ref = plain.apply(v, x)
     out = unpack_w(packed.apply(v, pack_w(x)))
