@@ -144,6 +144,32 @@ class TestExtraTrainStep:
             state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics["frame_1_psnr"]))
 
+    def test_inpaint_path(self):
+        """ExtraInpaintNet: coarse + seg-derived occlusion mask + InpaintUnet
+        composite with masked inpaint losses (the reference's broken
+        deep-rollout path fixed, SURVEY §2.7)."""
+        from deep_video_interpolation_extrapolation_tpu.models import registry
+        cfg = _cfg(runner="EXTRA", model="ExtraInpaintNet", syn_type="extra",
+                   inpaint=True, train_inpaint=True)
+        model = registry.build_model(cfg)
+        batch = _batch()
+        x = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
+        seg = jnp.concatenate([batch["seg1"], batch["seg2"]], axis=-1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(9)},
+            x, seg, train=True)
+        state = state_lib.create_train_state(cfg, variables, frozen={})
+        assert "inpaint_model" in state.params
+        step = jax.jit(extra_lib.make_train_step(cfg, model))
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        assert "step_1_frame_1_inpaint_l1_loss" in losses
+        assert "step_1_frame_1_inpaint_mask_loss" in losses
+        assert np.isfinite(float(losses["loss_all"]))
+        before = jax.tree_util.tree_leaves(state.params["inpaint_model"])
+        after = jax.tree_util.tree_leaves(new_state.params["inpaint_model"])
+        assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(before, after))
+
 
 class TestGANTrainStep:
     def test_vae_gan_single_backward(self):
