@@ -58,10 +58,16 @@ def make_train_step(cfg: Config, model) -> Callable:
         x, seg, gt_x, gt_seg = get_inter_inputs(batch)
         vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
 
+        def fwd(params, bs, x, seg, rng):
+            return apply_model(model, params, bs, x, seg,
+                               rngs={"noise": rng}, train=True)
+        if cfg.remat:
+            # --remat: rematerialize the forward in backprop, trading FLOPs
+            # for activation memory (full-res 1024x512 configs)
+            fwd = jax.checkpoint(fwd)
+
         def loss_fn(params):
-            out, new_bs = apply_model(
-                model, params, state.batch_stats, x, seg,
-                rngs={"noise": rng}, train=True)
+            out, new_bs = fwd(params, state.batch_stats, x, seg, rng)
             loss_dict = OrderedDict()
             if cfg.model == "InterNet":
                 coarse_img, coarse_seg = out
