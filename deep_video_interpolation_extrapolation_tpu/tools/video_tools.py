@@ -103,6 +103,25 @@ def imgs2vid(png_dir: str, out_path: str, fps: int = 10,
     return len(files)
 
 
+def assemble_cycgen_videos(cycgen_root: str, fps: int = 10) -> int:
+    """Turn a runner cycgen output tree into per-clip .avi files
+    (rgb | seg_vis side-by-side), the reference's offline
+    ``combine_inter_avi``/``imgs2vid`` workflow (flow_process.py:405-596).
+
+    Returns the number of videos written (saved as ``<clip>/clip.avi``).
+    """
+    n = 0
+    for clip_dir in sorted(glob.glob(os.path.join(cycgen_root, "clip_*"))):
+        rgb_dir = os.path.join(clip_dir, "rgb")
+        vis_dir = os.path.join(clip_dir, "seg_vis")
+        if not os.path.isdir(rgb_dir):
+            continue
+        dirs = [rgb_dir] + ([vis_dir] if os.path.isdir(vis_dir) else [])
+        if combine_grids(dirs, os.path.join(clip_dir, "clip.avi"), fps=fps):
+            n += 1
+    return n
+
+
 def combine_grids(dirs: Sequence[str], out_path: str, fps: int = 10,
                   pattern: str = "*.png") -> int:
     """Horizontally tile same-named frames from several trees into one

@@ -102,6 +102,15 @@ class TestVideoTools:
             str(tmp_path / "g.avi"))
         assert n == 2
 
+    def test_assemble_cycgen_videos(self, tmp_path):
+        clip = tmp_path / "clip_00000"
+        for sub in ("rgb", "seg_vis"):
+            (clip / sub).mkdir(parents=True)
+            for i in range(3):
+                Image.new("RGB", (8, 8)).save(clip / sub / f"{i:03d}.png")
+        n = video_tools.assemble_cycgen_videos(str(tmp_path))
+        assert n == 1 and (clip / "clip.avi").exists()
+
 
 class TestFlowVis:
     def test_wheel_shape(self):
