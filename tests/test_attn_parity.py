@@ -100,7 +100,8 @@ def test_attn_refine_parity_two_scales():
                           jnp.asarray(seg), jnp.asarray(nb_img),
                           jnp.asarray(nb_seg), train=False)
     assert len(jax.tree_util.tree_leaves(variables["params"])) == len(sd)
-    params = _port(sd, variables["params"])
+    from deep_video_interpolation_extrapolation_tpu.tools.torch_port import port_ms_res_attn_refine
+    params = port_ms_res_attn_refine(sd, variables["params"])
 
     our_outs, _ = ours.apply(
         {"params": params}, jnp.asarray(coarse), jnp.asarray(seg),

@@ -137,7 +137,8 @@ def test_hrnet_forward_parity_with_reference():
 
     variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(rgb),
                           jnp.asarray(seg), train=False)
-    params = _port(sd, variables["params"])
+    from deep_video_interpolation_extrapolation_tpu.tools.torch_port import port_hrnet
+    params = port_hrnet(sd, variables["params"])
 
     # every ported leaf must exist with the right shape (catches silent
     # mapping gaps); 8 fuse/transition/downsample convs have no torch twin

@@ -146,7 +146,8 @@ def test_srn_refine_parity():
                           jnp.asarray(seg), jnp.asarray(feat), train=False)
     n_ours = len(jax.tree_util.tree_leaves(variables["params"]))
     assert n_ours == len(sd), (n_ours, len(sd))
-    params = _port(sd, variables["params"])
+    from deep_video_interpolation_extrapolation_tpu.tools.torch_port import port_srn_refine
+    params = port_srn_refine(sd, variables["params"])
 
     our_preds = ours.apply({"params": params}, jnp.asarray(coarse),
                            jnp.asarray(seg), jnp.asarray(feat), train=False)
