@@ -18,7 +18,9 @@ from deep_video_interpolation_extrapolation_tpu.models.srn_legacy import (
 
 
 def _count(m, *args, **kw):
-    v = m.init(jax.random.PRNGKey(0), *args, **kw)
+    # eval_shape: no compilation or compute — just the param tree shapes
+    v = jax.eval_shape(lambda *a: m.init(jax.random.PRNGKey(0), *a, **kw),
+                       *args)
     return int(sum(np.prod(l.shape)
                    for l in jax.tree_util.tree_leaves(v["params"])))
 
