@@ -62,6 +62,8 @@ def _add_global_flags(p: argparse.ArgumentParser) -> None:
     g("--n_track", dest="num_track_per_img", type=int, default=4)
     g("--highres_large", dest="highres_large", action="store_true")
     # ---- TPU-native additions ----
+    g("--torch_ckpt", dest="torch_ckpt", default=None,
+      help="reference .pth checkpoint to convert-load (tools/torch_port)")
     g("--compute_dtype", dest="compute_dtype", default="bfloat16",
       choices=["bfloat16", "float32"])
     g("--num_data_shards", dest="num_data_shards", type=int, default=0)

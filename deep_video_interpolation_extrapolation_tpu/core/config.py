@@ -153,6 +153,7 @@ class Config:
     video_det_disc_gen_weight: float = 1.0
 
     # ---- TPU-native additions (no reference equivalent) ----
+    torch_ckpt: Optional[str] = None    # load a reference .pth via tools/torch_port
     compute_dtype: str = "bfloat16"     # activations/matmul dtype on TPU
     param_dtype: str = "float32"        # master params
     data_axis: str = "data"             # mesh axis name for DP

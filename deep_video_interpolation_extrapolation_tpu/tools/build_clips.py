@@ -177,3 +177,45 @@ def clean_bbox_file_max(src_bbox_file: str, src_clip_file: str,
         pickle.dump(new_boxes, f)
     with open(save_clip_file, "wb") as f:
         pickle.dump(new_clips, f)
+
+
+def main(argv=None):
+    """CLI: mirrors running the reference's create_vid_file.py snippets."""
+    import argparse
+    p = argparse.ArgumentParser(description="clip/bbox split builders")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("root")
+    r.add_argument("load_dir")
+    r.add_argument("save_name")
+    r.add_argument("--clip_len", type=int, default=30)
+    s = sub.add_parser("pred")
+    s.add_argument("root_clip_file")
+    s.add_argument("save_name")
+    s.add_argument("--interval", type=int, default=3)
+    s.add_argument("--vid_len", type=int, default=3)
+    i = sub.add_parser("interp")
+    i.add_argument("root_clip_file")
+    i.add_argument("save_name")
+    i.add_argument("--interval", type=int, default=3)
+    c = sub.add_parser("clean_bbox")
+    c.add_argument("src_bbox_file")
+    c.add_argument("src_clip_file")
+    c.add_argument("save_bbox_file")
+    c.add_argument("save_clip_file")
+    c.add_argument("--num_box", type=int, default=8)
+    c.add_argument("--area_thresh", type=float, default=0.0)
+    a = p.parse_args(argv)
+    if a.cmd == "root":
+        create_root_clip(a.load_dir, a.save_name, clip_len=a.clip_len)
+    elif a.cmd == "pred":
+        create_pred_lsclip(a.root_clip_file, a.save_name, a.interval, a.vid_len)
+    elif a.cmd == "interp":
+        create_interp_lsclip(a.root_clip_file, a.save_name, a.interval)
+    elif a.cmd == "clean_bbox":
+        clean_bbox_file_max(a.src_bbox_file, a.src_clip_file,
+                            a.save_bbox_file, a.save_clip_file,
+                            a.num_box, a.area_thresh)
+
+
+if __name__ == "__main__":
+    main()

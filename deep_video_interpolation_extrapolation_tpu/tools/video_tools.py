@@ -142,3 +142,35 @@ def combine_grids(dirs: Sequence[str], out_path: str, fps: int = 10,
         writer.write(row[..., ::-1])
     writer.release()
     return n
+
+
+def main(argv=None):
+    """CLI: resize trees / assemble videos (reference flow_process.py)."""
+    import argparse
+    p = argparse.ArgumentParser(description="image/video preprocess tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("resize")
+    r.add_argument("src_dir")
+    r.add_argument("dst_dir")
+    r.add_argument("--width", type=int, required=True)
+    r.add_argument("--height", type=int, required=True)
+    r.add_argument("--nearest", action="store_true")
+    v = sub.add_parser("imgs2vid")
+    v.add_argument("png_dir")
+    v.add_argument("out_path")
+    v.add_argument("--fps", type=int, default=10)
+    c = sub.add_parser("cycgen_videos")
+    c.add_argument("cycgen_root")
+    c.add_argument("--fps", type=int, default=10)
+    a = p.parse_args(argv)
+    if a.cmd == "resize":
+        n = resize_images(a.src_dir, a.dst_dir, (a.width, a.height), a.nearest)
+        print(f"resized {n} images")
+    elif a.cmd == "imgs2vid":
+        print(f"wrote {imgs2vid(a.png_dir, a.out_path, a.fps)} frames")
+    elif a.cmd == "cycgen_videos":
+        print(f"wrote {assemble_cycgen_videos(a.cycgen_root, a.fps)} videos")
+
+
+if __name__ == "__main__":
+    main()

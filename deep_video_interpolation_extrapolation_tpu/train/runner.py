@@ -128,6 +128,19 @@ class Runner:
 
     def _maybe_load(self) -> None:
         cfg = self.cfg
+        if cfg.torch_ckpt:
+            # convert-load a reference torch checkpoint (tools/torch_port)
+            import torch
+            from deep_video_interpolation_extrapolation_tpu.tools.torch_port import (
+                port_reference_checkpoint,
+            )
+            ckpt = torch.load(cfg.torch_ckpt, map_location="cpu",
+                              weights_only=False)
+            new_params = port_reference_checkpoint(ckpt, dict(self.state.params))
+            self.state = self.state.replace(params=new_params)
+            logger.info("ported torch checkpoint %s (submodels: %s)",
+                        cfg.torch_ckpt,
+                        [k for k in new_params if k in ckpt])
         wants_load = (cfg.resume or cfg.load_coarse or cfg.load_refine
                       or cfg.load_stage3 or cfg.load_inpaint
                       or cfg.load_frame_disc or cfg.load_frame_det_disc
