@@ -106,6 +106,53 @@ def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
+def load_torch_resnet101_state(variables: Dict,
+                               state_dict: Dict[str, np.ndarray]) -> Dict:
+    """Map torchvision resnet101 weights into ResNet101Features variables.
+
+    ``variables`` is the full ``{params, batch_stats}`` dict from
+    ``ResNet101Features().init``; ``state_dict`` uses torchvision's keys
+    (``conv1/bn1``, ``layer{1..4}.{b}.conv{1..3}/bn{1..3}``, block-0
+    ``downsample.0/1``).  Conv kernels transpose OIHW -> HWIO; BN
+    running_mean/var land in ``batch_stats``.  fc.* keys are ignored
+    (the reference takes features only, nets/resnet101.py:5-21).
+    """
+    import jax
+    new = jax.tree_util.tree_map(lambda x: x, variables)
+    params, stats = new["params"], new["batch_stats"]
+
+    def put_conv(node, tkey):
+        node["kernel"] = jnp.asarray(
+            _oihw_to_hwio(np.asarray(state_dict[tkey + ".weight"])))
+
+    def put_bn(pnode, snode, tkey):
+        pnode["scale"] = jnp.asarray(np.asarray(state_dict[tkey + ".weight"]))
+        pnode["bias"] = jnp.asarray(np.asarray(state_dict[tkey + ".bias"]))
+        snode["mean"] = jnp.asarray(
+            np.asarray(state_dict[tkey + ".running_mean"]))
+        snode["var"] = jnp.asarray(
+            np.asarray(state_dict[tkey + ".running_var"]))
+
+    put_conv(params["Conv_0"], "conv1")
+    put_bn(params["BatchNorm_0"], stats["BatchNorm_0"], "bn1")
+    bi = 0
+    for layer, blocks in (("layer1", 3), ("layer2", 4),
+                          ("layer3", 23), ("layer4", 3)):
+        for b in range(blocks):
+            name, t = f"_RNBottleneck_{bi}", f"{layer}.{b}"
+            bp, bs = params[name], stats[name]
+            for c in range(3):
+                put_conv(bp[f"Conv_{c}"], f"{t}.conv{c + 1}")
+                put_bn(bp[f"BatchNorm_{c}"], bs[f"BatchNorm_{c}"],
+                       f"{t}.bn{c + 1}")
+            if "Conv_3" in bp:  # block 0 of each stage
+                put_conv(bp["Conv_3"], f"{t}.downsample.0")
+                put_bn(bp["BatchNorm_3"], bs["BatchNorm_3"],
+                       f"{t}.downsample.1")
+            bi += 1
+    return new
+
+
 def load_torch_vgg19_state(params: Dict, state_dict: Dict[str, np.ndarray]) -> Dict:
     """Map torchvision vgg19 ``features.*`` weights into VGG19Features params."""
     import jax
