@@ -68,12 +68,15 @@ class Conv(nn.Module):
         bd = bias.astype(dt) if bias is not None else None
 
         if f:
-            assert (self.kernel, self.stride, self.dilation) == (3, 1, 1)
+            assert self.kernel in (1, 3) and (self.stride, self.dilation) == (1, 1)
             from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+                pack_kernel_1x1,
                 pack_kernel_3x3,
             )
+            kp = (pack_kernel_3x3(kd, f) if self.kernel == 3
+                  else pack_kernel_1x1(kd, f))
             out = jax.lax.conv_general_dilated(
-                xd, pack_kernel_3x3(kd, f), (1, 1), "SAME",
+                xd, kp, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=dt)
             if bd is not None:
@@ -150,25 +153,40 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 (x4) residual block (nets/HRNet.py:47-85)."""
+    """1x1 -> 3x3 -> 1x1 (x4) residual block (nets/HRNet.py:47-85).
+
+    ``packed_io=f`` runs the whole block in the width-packed layout at
+    factor f (1x1 convs via block-diagonal packed kernels, the 3x3 via the
+    structured tap mapping; exact math, ops/packed_conv.py).  Only valid
+    when stride==1.  Parameter names/shapes are identical either way.
+    """
     features: int
     stride: int = 1
     dtype: Optional[Dtype] = None
     expansion: int = 4
+    packed_io: int = 0
 
     @nn.compact
     def __call__(self, x):
         planes = self.features
         out_ch = planes * self.expansion
+        f = int(self.packed_io)
+        if f:
+            assert self.stride == 1
+        logical_in = x.shape[-1] // (f if f else 1)
         residual = x
-        out = Conv(planes, 1, 1, padding=0, use_bias=False, dtype=self.dtype)(x)
+        out = Conv(planes, 1, 1, padding=0, use_bias=False, dtype=self.dtype,
+                   packed_io=f)(x)
         out = lrelu(out)
-        out = Conv(planes, 3, self.stride, use_bias=False, dtype=self.dtype)(out)
+        out = Conv(planes, 3, self.stride, use_bias=False, dtype=self.dtype,
+                   packed_io=f)(out)
         out = lrelu(out)
-        out = Conv(out_ch, 1, 1, padding=0, use_bias=False, dtype=self.dtype)(out)
-        if self.stride != 1 or x.shape[-1] != out_ch:
+        out = Conv(out_ch, 1, 1, padding=0, use_bias=False, dtype=self.dtype,
+                   packed_io=f)(out)
+        if self.stride != 1 or logical_in != out_ch:
             residual = Conv(
-                out_ch, 1, self.stride, padding=0, use_bias=False, dtype=self.dtype
+                out_ch, 1, self.stride, padding=0, use_bias=False,
+                dtype=self.dtype, packed_io=f,
             )(x)
         return lrelu(out + residual)
 

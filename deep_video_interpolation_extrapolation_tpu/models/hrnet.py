@@ -149,12 +149,27 @@ class _HRBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # The full-resolution stem + layer1 chain runs width-packed on TPU
+        # (one relayout in, one out): the 64-ch convs are lane-starved at
+        # <128 channels, and packing doubles every operand's lane width for
+        # exact math (ops/packed_conv.py).  Measured ~1.5x on this chain.
+        f = 2 if (jax.default_backend() == "tpu" and x.shape[2] % 2 == 0
+                  and x.shape[2] >= 256) else 0
+        if f:
+            from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+                pack_w,
+                unpack_w,
+            )
+            x = pack_w(x, f)
         # stem (nets/HRNet.py:367-373)
-        x = lrelu(Conv(64, 3, dtype=self.dtype, name="conv1")(x))
-        x = lrelu(Conv(64, 3, dtype=self.dtype, name="conv2")(x))
+        x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, name="conv1")(x))
+        x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, name="conv2")(x))
         # layer1: 4 Bottlenecks 64->256 (nets/HRNet.py:375)
         for i in range(4):
-            x = Bottleneck(64, dtype=self.dtype, name=f"layer1_{i}")(x)
+            x = Bottleneck(64, dtype=self.dtype, packed_io=f,
+                           name=f"layer1_{i}")(x)
+        if f:
+            x = unpack_w(x, f)
 
         xs = _Transition((256,), STAGE2_CFG["num_channels"], dtype=self.dtype,
                          name="transition1")([x])

@@ -73,6 +73,25 @@ def pack_kernel_3x3(k: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return jnp.stack(taps, axis=1)                          # (3, 3, f*C, f*O)
 
 
+def pack_kernel_1x1(k: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(1, 1, C, O) logical -> (1, 1, f*C, f*O) block-diagonal.
+
+    A 1x1 conv acts per-pixel, so in the width-packed layout each phase's
+    channels map independently through the same logical kernel: the packed
+    kernel is block-diagonal (phase-mixing blocks are zero).  2x nominal
+    FLOPs on <=64-channel operands, but full 128 MXU lanes.
+    """
+    kh, kw, c, o = k.shape
+    assert kh == 1 and kw == 1, (kh, kw)
+    f = factor
+    z = jnp.zeros((c, o), k.dtype)
+    rows = []
+    for a_i in range(f):
+        rows.append(jnp.concatenate(
+            [k[0, 0] if a_i == a_o else z for a_o in range(f)], axis=-1))
+    return jnp.concatenate(rows, axis=-2)[None, None]
+
+
 def conv3x3_wpacked(x: jnp.ndarray, k: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
                     preferred_dtype=None, factor: int = 2) -> jnp.ndarray:
