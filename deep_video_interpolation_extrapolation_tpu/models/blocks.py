@@ -54,6 +54,36 @@ class Conv(nn.Module):
 
         pad = self.padding if self.padding is not None else (self.kernel // 2) * self.dilation
         f = int(self.packed_io)
+
+        # K-distributed 1x1: a list input means "conv over the channel-concat
+        # of these tensors" computed as a sum of per-part 1x1 convs — exactly
+        # W @ concat(parts) without ever materializing the concat (the HRNet
+        # head path reads the upsample pyramid directly).  Param shape is
+        # identical to the concat form.
+        if isinstance(x, (list, tuple)):
+            assert self.kernel == 1 and self.stride == 1 and not f
+            cin = sum(t.shape[-1] for t in x)
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (1, 1, cin, self.features), jnp.float32)
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            ) if self.use_bias else None
+            dt = self.dtype or x[0].dtype
+            out = None
+            lo = 0
+            for t in x:
+                kp = kernel[:, :, lo:lo + t.shape[-1], :].astype(dt)
+                y = jax.lax.conv_general_dilated(
+                    t.astype(dt), kp, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=dt)
+                out = y if out is None else out + y
+                lo += t.shape[-1]
+            if bias is not None:
+                out = out + bias.astype(dt)
+            return out
+
         cin = x.shape[-1] // (f if f else 1)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -68,11 +98,23 @@ class Conv(nn.Module):
         bd = bias.astype(dt) if bias is not None else None
 
         if f:
-            assert self.kernel in (1, 3) and (self.stride, self.dilation) == (1, 1)
             from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
                 pack_kernel_1x1,
                 pack_kernel_3x3,
+                pack_kernel_3x3_stride2_in,
             )
+            assert self.dilation == 1
+            if self.stride == 2:
+                # consume the packed layout, emit the ordinary unpacked
+                # stride-2 output (boundary out of a packed region)
+                assert self.kernel == 3 and f == 2
+                out = jax.lax.conv_general_dilated(
+                    xd, pack_kernel_3x3_stride2_in(kd), (2, 1),
+                    ((1, 1), (1, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=dt)
+                return out + bd if bd is not None else out
+            assert self.kernel in (1, 3) and self.stride == 1
             kp = (pack_kernel_3x3(kd, f) if self.kernel == 3
                   else pack_kernel_1x1(kd, f))
             out = jax.lax.conv_general_dilated(

@@ -54,6 +54,9 @@ class HighResolutionModule(nn.Module):
     num_channels: Tuple[int, ...]
     multi_scale_output: bool = True
     dtype: Optional[Dtype] = None
+    # branch 0's input already arrives width-packed at factor 2 (from a
+    # packed _Transition); skip the pack relayout, still unpack pre-fuse.
+    branch0_packed: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]):
@@ -61,10 +64,11 @@ class HighResolutionModule(nn.Module):
         ys = []
         for i in range(self.num_branches):
             h = xs[i]
+            pre_packed = self.branch0_packed and i == 0
             # full-resolution 64-ch branch: run the whole block chain in the
             # width-packed layout (one relayout in, one out) so each conv
             # sees 128 MXU lanes (ops/packed_conv.py; exact math).
-            packable = (
+            packable = pre_packed or (
                 self.num_channels[i] == 64 and h.shape[2] % 2 == 0
                 and h.shape[2] >= 128 and h.shape[-1] == 64
                 and _jax.default_backend() == "tpu")
@@ -73,7 +77,8 @@ class HighResolutionModule(nn.Module):
                     pack_w,
                     unpack_w,
                 )
-                h = pack_w(h, 2)
+                if not pre_packed:
+                    h = pack_w(h, 2)
             for _ in range(self.num_blocks[i]):
                 h = BasicBlock(self.num_channels[i], dtype=self.dtype,
                                packed_io=2 if packable else 0)(h)
@@ -115,29 +120,46 @@ class HighResolutionModule(nn.Module):
 
 
 class _Transition(nn.Module):
-    """Branch-count/channel transition (nets/HRNet.py:444-477)."""
+    """Branch-count/channel transition (nets/HRNet.py:444-477).
+
+    ``packed_in=f``: every entry of ``xs`` arrives in the width-packed
+    (B,H,W/f,f*C) layout.  Same-resolution 3x3 convs then run packed (their
+    outputs STAY packed); the first conv of each new stride-2 branch
+    consumes the packed layout directly and emits ordinary unpacked output
+    (ops/packed_conv.py pack_kernel_3x3_stride2_in).  Params unchanged.
+    """
     pre_channels: Tuple[int, ...]
     cur_channels: Tuple[int, ...]
     dtype: Optional[Dtype] = None
+    packed_in: int = 0
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]):
+        f = int(self.packed_in)
         outs = []
         for i, c in enumerate(self.cur_channels):
             if i < len(self.pre_channels):
                 if self.pre_channels[i] != c:
                     outs.append(
                         lrelu(Conv(c, 3, use_bias=False, dtype=self.dtype,
-                                   name=f"trans_{i}")(xs[i]))
+                                   packed_io=f, name=f"trans_{i}")(xs[i]))
                     )
                 else:
-                    outs.append(xs[i])
+                    h = xs[i]
+                    if f:
+                        from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+                            unpack_w,
+                        )
+                        h = unpack_w(h, f)
+                    outs.append(h)
             else:
                 t = xs[-1]
                 for j in range(i + 1 - len(self.pre_channels)):
                     out_ch = c if j == i - len(self.pre_channels) else self.pre_channels[-1]
                     t = lrelu(Conv(out_ch, 3, stride=2, use_bias=False,
-                                   dtype=self.dtype, name=f"trans_{i}_{j}")(t))
+                                   dtype=self.dtype,
+                                   packed_io=f if j == 0 else 0,
+                                   name=f"trans_{i}_{j}")(t))
                 outs.append(t)
         return outs
 
@@ -168,13 +190,17 @@ class _HRBackbone(nn.Module):
         for i in range(4):
             x = Bottleneck(64, dtype=self.dtype, packed_io=f,
                            name=f"layer1_{i}")(x)
-        if f:
-            x = unpack_w(x, f)
 
+        # transition1 consumes the packed layer1 output directly: trans_0's
+        # 3x3 stays packed (feeding stage2's branch-0 chain with no
+        # relayout); trans_1_0's stride-2 conv consumes packed, emits
+        # unpacked — the packed region ends per-branch, never via a bulk
+        # unpack of the 256-ch full-res tensor.
         xs = _Transition((256,), STAGE2_CFG["num_channels"], dtype=self.dtype,
-                         name="transition1")([x])
+                         packed_in=f, name="transition1")([x])
         xs = HighResolutionModule(
-            dtype=self.dtype, name="stage2", **STAGE2_CFG)(xs)
+            dtype=self.dtype, name="stage2", branch0_packed=bool(f),
+            **STAGE2_CFG)(xs)
 
         xs = _Transition(STAGE2_CFG["num_channels"], STAGE3_CFG["num_channels"],
                          dtype=self.dtype, name="transition2")(xs)
@@ -187,22 +213,31 @@ class _HRBackbone(nn.Module):
             xs = HighResolutionModule(
                 dtype=self.dtype, name="stage4", **STAGE4_CFG)(xs)
 
-        # upsample-concat (nets/HRNet.py:575-582)
+        # upsample pyramid (nets/HRNet.py:575-582).  Returned as PARTS, not a
+        # channel-concat: the heads' 1x1 convs K-distribute over the parts
+        # (blocks.Conv list input) — identical math to conv(concat(parts)),
+        # but the 448-ch full-res concat is never materialized (~7.5 GB of
+        # HBM traffic per forward at 1024x512 bs8).
         size = xs[0].shape[1:3]
-        ups = [xs[0]] + [
+        return [xs[0]] + [
             interpolate_bilinear(t, size=size, align_corners=False) for t in xs[1:]
         ]
-        return jnp.concatenate(ups, axis=-1)
 
 
 class _Head(nn.Module):
-    """1x1 conv + lrelu + 3x3 conv head (nets/HRNet.py:410-442)."""
+    """1x1 conv + lrelu + 3x3 conv head (nets/HRNet.py:410-442).
+
+    Accepts either the channel-concat feature map or the list of pyramid
+    parts (the 1x1 then K-distributes; same params, same math).
+    """
     out_dim: int
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        h = lrelu(Conv(x.shape[-1], 1, padding=0, dtype=self.dtype)(x))
+        cin = (sum(t.shape[-1] for t in x) if isinstance(x, (list, tuple))
+               else x.shape[-1])
+        h = lrelu(Conv(cin, 1, padding=0, dtype=self.dtype)(x))
         return Conv(self.out_dim, 3, dtype=self.dtype)(h)
 
 

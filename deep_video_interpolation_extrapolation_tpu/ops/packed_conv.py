@@ -92,6 +92,24 @@ def pack_kernel_1x1(k: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return jnp.concatenate(rows, axis=-2)[None, None]
 
 
+def pack_kernel_3x3_stride2_in(k: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, O) -> (3, 2, 2C, O): stride-2 conv CONSUMING f=2-packed input.
+
+    Output pixel w' (unpacked, stride-2 grid) is centered on original column
+    2w'; its taps 2w'+dx for dx in {-1,0,1} live at packed cell (2w'+dx)//2,
+    slot (2w'+dx)%2 — i.e. cells {w'-1, w'} only.  Use with
+    ``window_strides=(2, 1)`` and padding ``((1,1),(1,0))`` on the packed
+    (B, H, W/2, 2C) tensor; the result is the ordinary unpacked
+    (B, H/2, W/2, O) stride-2 SAME conv output.
+    """
+    kh, kw, c, o = k.shape
+    assert kh == 3 and kw == 3, (kh, kw)
+    z = jnp.zeros((3, c, o), k.dtype)
+    cell0 = jnp.concatenate([z, k[:, 0]], axis=-2)          # dx=-1 in slot 1
+    cell1 = jnp.concatenate([k[:, 1], k[:, 2]], axis=-2)    # dx=0/+1
+    return jnp.stack([cell0, cell1], axis=1)                # (3, 2, 2C, O)
+
+
 def conv3x3_wpacked(x: jnp.ndarray, k: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
                     preferred_dtype=None, factor: int = 2) -> jnp.ndarray:

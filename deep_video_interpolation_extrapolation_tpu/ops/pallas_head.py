@@ -120,8 +120,8 @@ def fused_dual_head(
             if n % t == 0:
                 return t
         return n
-    th = pick(h, 8)
-    tw = pick(w, 128)
+    th = pick(h, 16)
+    tw = pick(w, 64)
 
     dt = feat.dtype
     # channel dims must be lane-aligned for the halo DMA: pad C -> 128k

@@ -55,6 +55,93 @@ def test_packed_basicblock_matches_plain():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("factor", [2, 4])
+def test_packed_1x1_exact(factor):
+    from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+        pack_kernel_1x1,
+    )
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 4, 8, 6)), jnp.float32)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 1, 6, 10)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = unpack_w(jax.lax.conv_general_dilated(
+        pack_w(x, factor), pack_kernel_1x1(k, factor), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")), factor)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_stride2_consume_exact():
+    """Stride-2 conv consuming f=2-packed input == plain stride-2 SAME conv
+    (the _Transition boundary out of a packed region)."""
+    from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+        pack_kernel_3x3_stride2_in,
+    )
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 8, 16, 6)), jnp.float32)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 3, 6, 10)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(
+        pack_w(x, 2), pack_kernel_3x3_stride2_in(k), (2, 1),
+        ((1, 1), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_bottleneck_matches_plain():
+    """Bottleneck(packed_io=2) on packed input == plain Bottleneck on the
+    same params (the HRNet layer1 fast path), incl. residual projection."""
+    from deep_video_interpolation_extrapolation_tpu.models.blocks import Bottleneck
+
+    rng = np.random.RandomState(6)
+    for cin in (4, 16):  # with and without the residual 1x1
+        x = jnp.asarray(rng.uniform(-1, 1, (1, 4, 8, cin)), jnp.float32)
+        plain = Bottleneck(4, dtype=jnp.float32)
+        packed = Bottleneck(4, dtype=jnp.float32, packed_io=2)
+        v = plain.init(jax.random.PRNGKey(0), x)
+        ref = plain.apply(v, x)
+        out = unpack_w(packed.apply(v, pack_w(x)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_packed_transition_and_module_handoff():
+    """_Transition(packed_in=2) + HighResolutionModule(branch0_packed=True)
+    reproduce the unpacked pipeline on the same params."""
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import (
+        STAGE2_CFG,
+        HighResolutionModule,
+        _Transition,
+    )
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 8, 16, 12)), jnp.float32)
+    t0 = _Transition((12,), (4, 8), dtype=jnp.float32)
+    t2 = _Transition((12,), (4, 8), dtype=jnp.float32, packed_in=2)
+    p = t0.init(jax.random.PRNGKey(1), [x])
+    a0, b0 = t0.apply(p, [x])
+    a2, b2 = t2.apply(p, [pack_w(x, 2)])
+    np.testing.assert_allclose(np.asarray(unpack_w(a2, 2)), np.asarray(a0),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b0),
+                               atol=1e-5, rtol=1e-5)
+
+    xs = [jnp.asarray(rng.uniform(-1, 1, (1, 8, 16, 64)), jnp.float32),
+          jnp.asarray(rng.uniform(-1, 1, (1, 4, 8, 128)), jnp.float32)]
+    m0 = HighResolutionModule(dtype=jnp.float32, **STAGE2_CFG)
+    mp = HighResolutionModule(dtype=jnp.float32, branch0_packed=True,
+                              **STAGE2_CFG)
+    pm = m0.init(jax.random.PRNGKey(2), xs)
+    y0 = m0.apply(pm, xs)
+    y2 = mp.apply(pm, [pack_w(xs[0], 2), xs[1]])
+    for u, v in zip(y0, y2):
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_packed_conv_gradients_match():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.uniform(-1, 1, (1, 4, 8, 4)), jnp.float32)
