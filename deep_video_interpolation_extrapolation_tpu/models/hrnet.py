@@ -213,15 +213,16 @@ class _HRBackbone(nn.Module):
             xs = HighResolutionModule(
                 dtype=self.dtype, name="stage4", **STAGE4_CFG)(xs)
 
-        # upsample pyramid (nets/HRNet.py:575-582).  Returned as PARTS, not a
-        # channel-concat: the heads' 1x1 convs K-distribute over the parts
-        # (blocks.Conv list input) — identical math to conv(concat(parts)),
-        # but the 448-ch full-res concat is never materialized (~7.5 GB of
-        # HBM traffic per forward at 1024x512 bs8).
+        # upsample-concat (nets/HRNet.py:575-582).  Measured note: feeding
+        # the heads the parts list (K-distributed 1x1s, blocks.Conv list
+        # input) avoids materializing this concat but is ~33 ms/step SLOWER
+        # in-loop at 1024x512 bs8 — XLA materializes each partial-sum tensor
+        # at full 448 channels, tripling the traffic the concat costs once.
         size = xs[0].shape[1:3]
-        return [xs[0]] + [
+        ups = [xs[0]] + [
             interpolate_bilinear(t, size=size, align_corners=False) for t in xs[1:]
         ]
+        return jnp.concatenate(ups, axis=-1)
 
 
 class _Head(nn.Module):
