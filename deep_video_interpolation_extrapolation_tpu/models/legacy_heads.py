@@ -113,14 +113,13 @@ class RefineGAN(nn.Module):
     def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True):
         out = self.coarse_model(rgb, seg, train=train)
         coarse_rgb, out_seg = out[0], out[1]
-        soft = jax.nn.softmax(out_seg, axis=-1)
-        enc = [
-            jax.lax.stop_gradient(self.coarse_model.seg_encoder(seg[..., :20])),
-            jax.lax.stop_gradient(self.coarse_model.seg_encoder(seg[..., 20:40])),
-        ]
-        feat = jnp.concatenate([rgb] + enc, axis=-1)
+        # the reference feeds the refiner ONLY the detached coarse rgb
+        # (nets/RefineGAN.py:29), so refine losses never reach the coarse
+        # model's params
         refine_rgbs = self.refine_model(
-            jax.lax.stop_gradient(coarse_rgb), soft, feat, train=train)
+            jax.lax.stop_gradient(coarse_rgb), train=train)
+        if not isinstance(refine_rgbs, (list, tuple)):
+            refine_rgbs = [refine_rgbs]   # single-scale refiners (refineUnet)
         last = refine_rgbs[-1]
         if not train:
             return coarse_rgb, refine_rgbs, out_seg

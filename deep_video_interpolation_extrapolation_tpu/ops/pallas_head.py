@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, slab, h_buf, sem,
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, slab, sem,
             *, tile_h: int, tile_w: int, cin: int, height: int, width: int):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
@@ -75,24 +75,22 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, slab, h_buf, sem,
               + tj * tw - 4)
     inside = ((r_glob >= 0) & (r_glob < height)
               & (c_glob >= 0) & (c_glob < width))
-    h_buf[...] = (h * jnp.where(inside, 1.0, 0.0)[..., None]).astype(
-        h_buf.dtype)
+    hall = (h * jnp.where(inside, 1.0, 0.0)[..., None]).astype(
+        slab.dtype)                        # (th+2, tw+8, c2) bf16 value
 
     c2 = w1.shape[1]
 
-    def tap_row(ky, acc):
-        # dynamic ref read on the untiled row dim; kx unrolled (static
-        # lane-dim slices).  Center column of the 4-px W halo is offset 4.
-        hrow = h_buf[pl.ds(ky, th), :, :]
-        wrow = w2_ref[pl.ds(ky, 1)][0]     # (3, c2, 128)
-        for kx in range(3):
-            hs = jax.lax.slice(hrow, (0, kx + 3, 0), (th, kx + 3 + tw, c2))
+    # Tap loop order matters on Mosaic: slicing the COLUMN (sublane) dim at
+    # +-1 is an unaligned shift (a vector roll per slice), while row slices
+    # of a 3-D value are free (major dim, untiled).  So shift columns ONCE
+    # per kx (3 rolls total instead of 9) and take row taps off that.
+    acc = jnp.zeros((th, tw, 128), jnp.float32)
+    for kx in range(3):
+        hx = jax.lax.slice(hall, (0, kx + 3, 0), (th + 2, kx + 3 + tw, c2))
+        for ky in range(3):
+            hs = jax.lax.slice(hx, (ky, 0, 0), (ky + th, tw, c2))
             acc = acc + jax.lax.dot_general(
-                hs, wrow[kx], dn, preferred_element_type=jnp.float32)
-        return acc
-
-    acc = jax.lax.fori_loop(
-        0, 3, tap_row, jnp.zeros((th, tw, 128), jnp.float32))
+                hs, w2[ky, kx], dn, preferred_element_type=jnp.float32)
     out_ref[0] = (acc + b2).astype(out_ref.dtype)
 
 
@@ -162,7 +160,6 @@ def fused_dual_head(
         out_shape=jax.ShapeDtypeStruct((b, h, w, 128), dt),
         scratch_shapes=[
             pltpu.VMEM((th + 2, tw + 8, cin_pad), dt),
-            pltpu.VMEM((th + 2, tw + 8, c2), dt),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

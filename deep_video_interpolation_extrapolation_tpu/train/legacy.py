@@ -158,6 +158,223 @@ def make_vae_train_step(cfg: Config, model) -> Callable:
     return train_step
 
 
+def make_refiner_train_step(cfg: Config, model) -> Callable:
+    """Legacy Refiner recipe (runners/refiner.py:398-520): coarse RGB
+    bundle (+CE in xs2xs) and a multiscale refine RGB bundle against
+    bilinearly downsampled gt (align_corners=True, refiner_gan.py:245),
+    with per-submodel Adamax updates.
+
+    Reference lock flags map onto our train flags: ``lock_coarse`` ==
+    ``not train_coarse``, ``lock_refine``/``lock_low`` == ``not
+    train_refine`` (the lock_* CLI flags no longer exist in the
+    reference's options.py — dead code there; semantics preserved here).
+    Reference deviation: refiner.py:85 hands the COARSE params to the
+    refine optimizer in its non-adamax branch (an evident bug); each
+    optimizer here owns its own submodel.
+
+    ``model``: legacy_heads.RefineNet — (rgb, seg, gt_rgb, gt_seg, train)
+    -> (coarse_rgb, out_seg, refine_rgbs) with the coarse detached from
+    the refine path inside the model.
+    """
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        interpolate_bilinear,
+    )
+
+    tx_c = state_lib.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate)
+    tx_r = state_lib.make_tx(cfg.refine_optimizer, cfg.refine_learning_rate)
+
+    def refine_bundle(pred, gt, prefix):
+        from deep_video_interpolation_extrapolation_tpu.losses.bundles import (
+            rgb_loss_bundle,
+        )
+        return rgb_loss_bundle(
+            pred, gt, cfg.refine_l1_weight, cfg.refine_gdl_weight,
+            cfg.refine_vgg_weight, cfg.refine_ssim_weight, None, prefix)
+
+    def train_step(params, opt_states, batch_stats, batch, rng):
+        x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+
+        def loss_fn(p):
+            variables = {"params": p}
+            mutable = False
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(variables, x, seg, gt_x, gt_seg, train=True,
+                              mutable=mutable)
+            (coarse_rgb, out_seg, refine_rgbs), new_vars = (
+                out if mutable else (out, {}))
+            if not isinstance(refine_rgbs, (list, tuple)):
+                refine_rgbs = [refine_rgbs]   # single-scale refiners
+            ld = OrderedDict()
+            if cfg.train_coarse:
+                ld.update(rgb_bundle(cfg, coarse_rgb, gt_x, None, "coarse"))
+                if cfg.mode == "xs2xs":
+                    ld["coarse_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
+                        out_seg, jnp.argmax(gt_seg, axis=-1))
+            if cfg.train_refine:
+                for i in range(cfg.n_scales):
+                    gt_i = gt_x if i == 0 else interpolate_bilinear(
+                        gt_x, scale_factor=0.5 ** i, align_corners=True)
+                    ld.update(refine_bundle(
+                        refine_rgbs[-i - 1], gt_i, f"refine_{i}"))
+            total = sum_losses(ld)
+            ld["loss_all"] = total
+            return total, (ld, new_vars.get("batch_stats", batch_stats))
+
+        (_, (ld, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        new_params = dict(params)
+        new_opts = dict(opt_states)
+        if cfg.train_coarse:
+            new_params["coarse_model"], new_opts["coarse_model"] = (
+                _single_tx_update(params["coarse_model"],
+                                  grads["coarse_model"],
+                                  opt_states["coarse_model"], tx_c))
+        if cfg.train_refine:
+            new_params["refine_model"], new_opts["refine_model"] = (
+                _single_tx_update(params["refine_model"],
+                                  grads["refine_model"],
+                                  opt_states["refine_model"], tx_r))
+        return new_params, new_opts, new_bs, ld
+
+    return train_step
+
+
+def init_refiner_opt_states(cfg: Config, params) -> Dict:
+    return {
+        "coarse_model": state_lib.make_tx(
+            cfg.coarse_optimizer, cfg.coarse_learning_rate
+        ).init(params["coarse_model"]),
+        "refine_model": state_lib.make_tx(
+            cfg.refine_optimizer, cfg.refine_learning_rate
+        ).init(params["refine_model"]),
+    }
+
+
+def make_refiner_gan_train_step(cfg: Config, model,
+                                adv_warmup_steps: int = 1000) -> Callable:
+    """Legacy RefinerGAN recipe (runners/refiner_gan.py:218-300):
+
+    G: [coarse bundle + CE unless locked] + multiscale refine bundle +
+       ``refine_adv_weight * BCE(D(fake), real)`` once ``global_step``
+       passes the 1000-step warm-up (refiner_gan.py:253-267 zeroes the
+       adversarial terms before that);
+    D: ``refine_d_weight * (BCE(D(real), 1) + BCE(D(fake), 0))`` on the
+       same schedule, optimized with SGD momentum 0.9
+       (refiner_gan.py:74), while G uses Adamax.
+
+    Single combined backward, matching the reference's alternating
+    backwards exactly because of the stop_gradient routing (the same
+    scheme as train/inter_gan.py): D sees detached fakes (its losses
+    can't reach G), and G's adversarial term runs the discriminator with
+    a stop_gradient'ed copy of the D params (it can't reach D) — the
+    reference achieves the same by calling ``optD.zero_grad()`` after
+    ``optG.step()``, discarding the adv-term grads that leaked into D.
+
+    ``model``: legacy_heads.RefineGAN.  The generator forward reuses the
+    composite's eval path (its submodels are norm-free), and the three
+    discriminator passes are applied here on the ``discriminator``
+    subtree so the freeze is explicit.
+    """
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        interpolate_bilinear,
+    )
+    from deep_video_interpolation_extrapolation_tpu.losses.bundles import (
+        rgb_loss_bundle,
+    )
+    from deep_video_interpolation_extrapolation_tpu.models.legacy_disc import (
+        MultiscaleDiscriminator,
+    )
+    from deep_video_interpolation_extrapolation_tpu.train.inter_gan import (
+        _sub_apply,
+    )
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+
+    disc = MultiscaleDiscriminator(
+        num_d=2, use_sigmoid=True, get_interm_feat=False,
+        dtype=registry.compute_dtype(cfg))
+    tx_g = state_lib.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate)
+    tx_d = optax.sgd(cfg.refine_learning_rate, momentum=0.9)
+
+    def train_step(params, opt_states, batch_stats, batch, rng,
+                   global_step=None):
+        x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+        adv_on = (jnp.asarray(global_step) > adv_warmup_steps).astype(
+            jnp.float32) if global_step is not None else jnp.asarray(1.0)
+
+        def loss_fn(p):
+            sg = jax.lax.stop_gradient
+            # generator forward (the composite's no-D path; its submodels
+            # carry no norm state, so the train flag is inert here)
+            coarse_rgb, refine_rgbs, out_seg = model.apply(
+                {"params": p}, x, seg, gt_x, gt_seg, train=False)
+            if not isinstance(refine_rgbs, (list, tuple)):
+                refine_rgbs = [refine_rgbs]   # single-scale refiners
+            last = refine_rgbs[-1]
+
+            ld = OrderedDict()
+            if cfg.train_coarse:
+                ld.update(rgb_bundle(cfg, coarse_rgb, gt_x, None, "coarse"))
+                if cfg.mode == "xs2xs":
+                    ld["coarse_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
+                        out_seg, jnp.argmax(gt_seg, axis=-1))
+            for i in range(cfg.n_scales):
+                gt_i = gt_x if i == 0 else interpolate_bilinear(
+                    gt_x, scale_factor=0.5 ** i, align_corners=True)
+                ld.update(rgb_loss_bundle(
+                    refine_rgbs[-i - 1], gt_i, cfg.refine_l1_weight,
+                    cfg.refine_gdl_weight, cfg.refine_vgg_weight,
+                    cfg.refine_ssim_weight, None, f"refine_{i}"))
+
+            d_params = p["discriminator"]
+            bs_d = (batch_stats or {}).get("discriminator", {})
+            d_fake, bs_new = _sub_apply(
+                disc, d_params, bs_d,
+                jnp.concatenate([sg(last), gt_seg], axis=-1))
+            d_real, bs_new = _sub_apply(
+                disc, d_params, bs_new,
+                jnp.concatenate([gt_x, gt_seg], axis=-1))
+            g_fake, bs_new = _sub_apply(
+                disc, jax.tree_util.tree_map(sg, d_params), bs_new,
+                jnp.concatenate([last, gt_seg], axis=-1))
+            ld["adv_loss"] = adv_on * cfg.frame_disc_gen_weight * \
+                bce_gan_loss(g_fake, True)
+            ld["d_real_loss"] = adv_on * cfg.frame_disc_disc_weight * \
+                bce_gan_loss(d_real, True)
+            ld["d_fake_loss"] = adv_on * cfg.frame_disc_disc_weight * \
+                bce_gan_loss(d_fake, False)
+            total = sum_losses(ld)
+            ld["loss_all"] = total
+            new_bs = dict(batch_stats or {})
+            if bs_new:
+                new_bs["discriminator"] = bs_new
+            return total, (ld, new_bs)
+
+        (_, (ld, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        new_params = dict(params)
+        new_opts = dict(opt_states)
+        for key, tx in (("coarse_model", tx_g), ("refine_model", tx_g),
+                        ("discriminator", tx_d)):
+            new_params[key], new_opts[key] = _single_tx_update(
+                params[key], grads[key], opt_states[key], tx)
+        return new_params, new_opts, new_bs, ld
+
+    return train_step
+
+
+def init_refiner_gan_opt_states(cfg: Config, params) -> Dict:
+    tx_g = state_lib.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate)
+    return {
+        "coarse_model": tx_g.init(params["coarse_model"]),
+        "refine_model": tx_g.init(params["refine_model"]),
+        "discriminator": optax.sgd(
+            cfg.refine_learning_rate, momentum=0.9
+        ).init(params["discriminator"]),
+    }
+
+
 def make_simple_train_step(cfg: Config, model) -> Callable:
     """Plain single-generator step (legacy Trainer, trainer.py:254-320)."""
     tx = state_lib.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate)

@@ -100,3 +100,64 @@ def test_legacy_simple_step():
     for _ in range(5):
         p1, o1, _, losses = step(p1, o1, {}, batch, jax.random.PRNGKey(0))
     assert float(losses["loss_all"]) < float(losses1["loss_all"])
+
+
+def test_legacy_refiner_step():
+    from deep_video_interpolation_extrapolation_tpu.models.legacy_heads import (
+        RefineNet,
+    )
+    cfg = _cfg(train_coarse=True, train_refine=True, n_scales=1,
+               coarse_model="HRNet", refine_model="refineUnet")
+    model = RefineNet(cfg=cfg, dtype=jnp.float32)
+    batch = _inter_batch()
+    x = jnp.concatenate([batch["frame1"], batch["frame3"]], -1)
+    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], -1)
+    variables = model.init(KEY, x, seg, batch["frame2"], batch["seg2"],
+                           train=True)
+    params = variables["params"]
+    opts = L.init_refiner_opt_states(cfg, params)
+    step = jax.jit(L.make_refiner_train_step(cfg, model))
+    new_params, new_opts, new_bs, losses = step(
+        params, opts, variables.get("batch_stats", {}), batch,
+        jax.random.PRNGKey(1))
+    for k in ("coarse_l1_loss", "coarse_ce_loss", "refine_0_l1_loss",
+              "loss_all"):
+        assert np.isfinite(float(losses[k])), k
+    for net in ("coarse_model", "refine_model"):
+        a = jax.tree_util.tree_leaves(params[net])
+        b = jax.tree_util.tree_leaves(new_params[net])
+        assert any(not np.array_equal(np.asarray(x_), np.asarray(y_))
+                   for x_, y_ in zip(a, b)), net
+
+
+def test_legacy_refiner_gan_step_freezes_d_for_adv():
+    from deep_video_interpolation_extrapolation_tpu.models.legacy_heads import (
+        RefineGAN,
+    )
+    cfg = _cfg(train_coarse=False, n_scales=1, coarse_model="HRNet",
+               refine_model="refineUnet")
+    model = RefineGAN(cfg=cfg, dtype=jnp.float32)
+    batch = _inter_batch()
+    x = jnp.concatenate([batch["frame1"], batch["frame3"]], -1)
+    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], -1)
+    variables = model.init(KEY, x, seg, batch["frame2"], batch["seg2"],
+                           train=True)
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+    opts = L.init_refiner_gan_opt_states(cfg, params)
+    step = jax.jit(L.make_refiner_gan_train_step(cfg, model))
+    new_params, new_opts, new_bs, losses = step(
+        params, opts, bs, batch, jax.random.PRNGKey(1))
+    for k in ("refine_0_l1_loss", "adv_loss", "d_real_loss", "d_fake_loss"):
+        assert np.isfinite(float(losses[k])), k
+    # refine and discriminator move; coarse stays put (train_coarse=False
+    # and the composite detaches coarse from the refine path)
+    for net in ("refine_model", "discriminator"):
+        a = jax.tree_util.tree_leaves(params[net])
+        b = jax.tree_util.tree_leaves(new_params[net])
+        assert any(not np.array_equal(np.asarray(x_), np.asarray(y_))
+                   for x_, y_ in zip(a, b)), net
+    assert all(np.array_equal(np.asarray(x_), np.asarray(y_))
+               for x_, y_ in zip(
+                   jax.tree_util.tree_leaves(params["coarse_model"]),
+                   jax.tree_util.tree_leaves(new_params["coarse_model"])))
