@@ -187,3 +187,20 @@ class TestROI:
             out[0, 2:10, 3:13], img[0, 2:10, 3:13], atol=1e-3)
         # outside untouched
         assert np.all(out[0, :2] == 0) and np.all(out[0, 10:] == 0)
+
+
+def test_upsample2x_convt_exact():
+    """Depthwise-convT 2x bilinear == torch half-pixel semantics (CPU f32
+    convs are exact; on TPU it's gated to bf16 where rounding matches)."""
+    import torch
+    import torch.nn.functional as F
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        upsample2x_convt,
+    )
+
+    x = np.random.RandomState(0).randn(2, 9, 14, 5).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                         scale_factor=2, mode="bilinear",
+                         align_corners=False).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(upsample2x_convt(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
