@@ -81,14 +81,20 @@ class SRNRefine(nn.Module):
     Call: ``(coarse_rgb, coarse_seg_soft, encoded_feat)`` — (B,H,W,3),
     (B,H,W,20), (B,H,W,14).  Returns list of per-scale predictions,
     coarsest first, finest (full-res) last.
+
+    seg/feat are optional, mirroring the reference's ``input_seg=None``
+    default (nets/SRN.py:204) — the legacy RefineGAN head calls its
+    refiner with only the detached coarse rgb.
     """
     n_scales: int = 1
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, input_rgb, input_seg, encoded_feat, train: bool = True) -> List[jnp.ndarray]:
+    def __call__(self, input_rgb, input_seg=None, encoded_feat=None,
+                 train: bool = True) -> List[jnp.ndarray]:
         core = _SRNCore(dtype=self.dtype, name="core")
-        others = jnp.concatenate([input_seg, encoded_feat], axis=-1)
+        extra = [t for t in (input_seg, encoded_feat) if t is not None]
+        others = jnp.concatenate(extra, axis=-1) if extra else None
         preds: List[jnp.ndarray] = []
         hidden = None
         for scale_idx in range(self.n_scales - 1, -1, -1):
@@ -100,9 +106,13 @@ class SRNRefine(nn.Module):
                 pred_in = interpolate_bilinear(prev, scale_factor=2.0, align_corners=True)
             else:
                 pred_in = ori
-            others_s = interpolate_bilinear(others, scale_factor=scale, align_corners=True) \
-                if scale != 1.0 else others
-            x = jnp.concatenate([ori, pred_in, others_s], axis=-1)
+            parts = [ori, pred_in]
+            if others is not None:
+                parts.append(
+                    interpolate_bilinear(others, scale_factor=scale,
+                                         align_corners=True)
+                    if scale != 1.0 else others)
+            x = jnp.concatenate(parts, axis=-1)
             if hidden is not None:
                 hidden = interpolate_bilinear(hidden, scale_factor=2.0, align_corners=True)
             pred, hidden = core(x, hidden)
