@@ -179,6 +179,77 @@ def clean_bbox_file_max(src_bbox_file: str, src_clip_file: str,
         pickle.dump(new_clips, f)
 
 
+def create_trackrcnn_track_pkl(clip_file: str, data_dir: str,
+                               save_bbox_file: str, save_clip_file: str,
+                               area_thresh: float = 0.0,
+                               img_h: int = 512, img_w: int = 1024) -> Dict:
+    """Convert TrackR-CNN per-frame track txts into per-clip bbox arrays
+    (create_vid_file.py:701-748).
+
+    Each frame has ``<frame>_leftImg8bit.txt`` under ``data_dir/<city>``
+    holding one line of ``id,x1,y1,x2,y2`` entries joined by ``---``
+    (track-consistent object order across the 3 frames).  Tracks whose
+    MID-frame box area is <= ``area_thresh`` are dropped
+    (create_vid_file.py:733-735); each kept box gets its area ratio
+    prepended as the score column (create_vid_file.py:739).
+
+    Reference deviation: the reference function builds the dicts but never
+    pickles them (its save_pkl argument is unused — dead code); this writes
+    both the bbox file and the filtered clip file in the same format
+    ``create_bbox_file``/``clean_bbox_file_max`` produce, so the data layer
+    can consume the result directly.
+    """
+    with open(clip_file, "rb") as f:
+        clips_all = pickle.load(f)
+    new_boxes: Dict[str, List[np.ndarray]] = {}
+    new_clips: Dict[str, List[List[str]]] = {}
+    for split, clips in clips_all.items():
+        nb, nc = [], []
+        for clip in clips:
+            city = os.path.dirname(clip[1])
+            per_frame = []
+            ok = True
+            for frame in clip[:3]:
+                p = os.path.join(data_dir, city,
+                                 os.path.basename(frame) + "_leftImg8bit.txt")
+                if not os.path.exists(p):
+                    ok = False
+                    break
+                with open(p) as f:
+                    line = f.readline().strip()
+                if not line:
+                    ok = False
+                    break
+                boxes = []
+                for obj in line.split("---"):
+                    nums = list(map(int, obj.split(",")[1:]))
+                    assert len(nums) == 4, obj
+                    boxes.append(nums)
+                per_frame.append(boxes)
+            if not ok or not per_frame:
+                continue
+            n = min(len(b) for b in per_frame)
+            keep = [j for j in range(n)
+                    if _box_area([0.0] + per_frame[1][j]) > area_thresh]
+            if not keep:
+                continue
+            arr = np.zeros((3, len(keep), 5), np.float32)
+            for fi in range(3):
+                for oi, j in enumerate(keep):
+                    x1, y1, x2, y2 = per_frame[fi][j]
+                    ratio = (x2 - x1) * (y2 - y1) / float(img_h * img_w)
+                    arr[fi, oi] = [ratio, x1, y1, x2, y2]
+            nb.append(arr)
+            nc.append(clip)
+        new_boxes[split] = nb
+        new_clips[split] = nc
+    with open(save_bbox_file, "wb") as f:
+        pickle.dump(new_boxes, f)
+    with open(save_clip_file, "wb") as f:
+        pickle.dump(new_clips, f)
+    return new_boxes
+
+
 def main(argv=None):
     """CLI: mirrors running the reference's create_vid_file.py snippets."""
     import argparse
@@ -204,6 +275,12 @@ def main(argv=None):
     c.add_argument("save_clip_file")
     c.add_argument("--num_box", type=int, default=8)
     c.add_argument("--area_thresh", type=float, default=0.0)
+    t = sub.add_parser("trackrcnn")
+    t.add_argument("clip_file")
+    t.add_argument("data_dir")
+    t.add_argument("save_bbox_file")
+    t.add_argument("save_clip_file")
+    t.add_argument("--area_thresh", type=float, default=0.0)
     a = p.parse_args(argv)
     if a.cmd == "root":
         create_root_clip(a.load_dir, a.save_name, clip_len=a.clip_len)
@@ -215,6 +292,10 @@ def main(argv=None):
         clean_bbox_file_max(a.src_bbox_file, a.src_clip_file,
                             a.save_bbox_file, a.save_clip_file,
                             a.num_box, a.area_thresh)
+    elif a.cmd == "trackrcnn":
+        create_trackrcnn_track_pkl(a.clip_file, a.data_dir,
+                                   a.save_bbox_file, a.save_clip_file,
+                                   a.area_thresh)
 
 
 if __name__ == "__main__":

@@ -163,3 +163,42 @@ class TestSRNLegacy:
         v = m.init(KEY, x)
         out = m.apply(v, x)
         assert out.shape == (1, 16, 32, 3)
+
+
+def test_create_trackrcnn_track_pkl(tmp_path):
+    """TrackR-CNN txt tree -> per-clip (3,N,5) bbox arrays via the CLI
+    (create_vid_file.py:701-748; reference never saved its output — we do,
+    in the create_bbox_file format)."""
+    import pickle
+    import numpy as np
+    from deep_video_interpolation_extrapolation_tpu.tools import build_clips
+
+    frames = [f"train/aachen/aachen_000000_{i:06d}" for i in (0, 18, 9)]
+    clip_pkl = tmp_path / "clips.pkl"
+    with open(clip_pkl, "wb") as f:
+        pickle.dump({"train": [frames]}, f)
+    d = tmp_path / "tracks" / "train" / "aachen"
+    d.mkdir(parents=True)
+    # two tracks; track 1's mid-frame box is tiny (filtered at thresh 100)
+    lines = {
+        frames[0]: "3,10,20,110,220---7,0,0,5,5",
+        frames[1]: "3,14,24,114,224---7,1,1,6,6",
+        frames[2]: "3,12,22,112,222---7,0,0,6,6",
+    }
+    for frame, line in lines.items():
+        (d / (frame.split("/")[-1] + "_leftImg8bit.txt")).write_text(line)
+
+    bbox_pkl = tmp_path / "boxes.pkl"
+    out_clip_pkl = tmp_path / "clips_out.pkl"
+    build_clips.main(["trackrcnn", str(clip_pkl), str(tmp_path / "tracks"),
+                      str(bbox_pkl), str(out_clip_pkl),
+                      "--area_thresh", "100"])
+    with open(bbox_pkl, "rb") as f:
+        boxes = pickle.load(f)
+    arr = boxes["train"][0]
+    assert arr.shape == (3, 1, 5)            # tiny track dropped
+    np.testing.assert_allclose(arr[0, 0, 1:], [10, 20, 110, 220])
+    # score column = area ratio at 512x1024 of each frame's own box
+    np.testing.assert_allclose(arr[1, 0, 0], (114 - 14) * (224 - 24) / (512 * 1024.0))
+    with open(out_clip_pkl, "rb") as f:
+        assert pickle.load(f)["train"] == [frames]
