@@ -46,6 +46,11 @@ class Conv(nn.Module):
     # Parameters stay in the logical (3,3,C,O) layout either way
     # (checkpoint-compatible).  0 = normal layout.
     packed_io: int = 0
+    # Small-Cout 3x3 convs (the HRNet heads) route through the taps-in-N
+    # decomposition (ops/tapped_conv.py) — exact math, ~4.7x fewer
+    # MXU-padded FLOPs when 9*features <= 256 << 9*128.  Requires
+    # kernel=3, stride=1, dilation=1, pad=1, unpacked.
+    tapped: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -124,6 +129,14 @@ class Conv(nn.Module):
             if bd is not None:
                 out = out + jnp.tile(bd, f)
             return out
+
+        if self.tapped:
+            assert (self.kernel == 3 and self.stride == 1
+                    and self.dilation == 1 and pad == 1)
+            from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+                conv3x3_tapped,
+            )
+            return conv3x3_tapped(xd, kd, bd)
 
         out = jax.lax.conv_general_dilated(
             xd, kd, (self.stride, self.stride),

@@ -9,6 +9,7 @@
 - ROI crop_resize fixed-size patch extraction.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -204,3 +205,45 @@ def test_upsample2x_convt_exact():
                          align_corners=False).numpy().transpose(0, 2, 3, 1)
     got = np.asarray(upsample2x_convt(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+class TestTappedConv:
+    """ops/tapped_conv.py: taps-in-N 3x3 == direct lax conv (exact math)."""
+
+    @pytest.mark.parametrize("cout", [3, 20, 23])
+    def test_matches_direct_conv(self, cout):
+        from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+            conv3x3_tapped,
+        )
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 9, 13, 37).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 37, cout).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        direct = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        tapped = conv3x3_tapped(x, w, b)
+        np.testing.assert_allclose(np.asarray(tapped), np.asarray(direct),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_grad_matches(self):
+        from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+            conv3x3_tapped,
+        )
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 6, 7, 8).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32) * 0.1)
+
+        def loss_direct(w):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y ** 2)
+
+        def loss_tapped(w):
+            return jnp.sum(conv3x3_tapped(x, w) ** 2)
+
+        gd = jax.grad(loss_direct)(w)
+        gt = jax.grad(loss_tapped)(w)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gd),
+                                   rtol=2e-4, atol=2e-4)
