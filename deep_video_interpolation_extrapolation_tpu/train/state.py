@@ -126,3 +126,30 @@ def apply_updates(cfg: Config, state: TrainState, grads: Any,
         batch_stats=new_batch_stats if new_batch_stats is not None else state.batch_stats,
         step=state.step + 1,
     )
+
+
+def gan_weights_init(rng: jax.Array, params: Any) -> Any:
+    """DCGAN-style init for the legacy GAN head (nets/GAN.py:32-33 applies
+    utils/net_utils.py:31-37 ``weights_init`` to netG and netD).
+
+    Re-samples every conv/convT kernel (4-D leaves named ``kernel``) from
+    N(0, 0.02); BatchNorm ``scale`` from N(1, 0.02), BatchNorm ``bias`` to 0.
+    Dense kernels and conv biases are untouched, exactly as the torch
+    version (it only matches class names containing Conv / BatchNorm2d).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    keys = jax.random.split(rng, max(len(flat), 1))
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = []
+    for k, (path, leaf) in zip(keys, flat):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        leaf_name = names[-1] if names else ""
+        in_bn = any("BatchNorm" in str(n) for n in names[:-1])
+        if leaf_name == "kernel" and getattr(leaf, "ndim", 0) == 4:
+            leaf = 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        elif in_bn and leaf_name == "scale":
+            leaf = 1.0 + 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype)
+        elif in_bn and leaf_name == "bias":
+            leaf = jnp.zeros_like(leaf)
+        leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

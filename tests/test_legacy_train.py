@@ -40,7 +40,12 @@ def test_legacy_gan_step():
     x = jnp.concatenate([batch["frame1"], batch["frame3"]], -1)
     seg = jnp.concatenate([batch["seg1"], batch["seg3"]], -1)
     variables = model.init(KEY, x, seg, batch["frame2"], batch["seg2"], train=True)
-    params = variables["params"]
+    # the reference applies DCGAN weights_init to netG/netD at construction
+    # (nets/GAN.py:32-33)
+    from deep_video_interpolation_extrapolation_tpu.train.state import (
+        gan_weights_init,
+    )
+    params = gan_weights_init(jax.random.PRNGKey(2), variables["params"])
     bs = variables.get("batch_stats", {})
     opts = L.init_gan_opt_states(cfg, params)
     step = jax.jit(L.make_gan_train_step(cfg, model))
@@ -161,3 +166,37 @@ def test_legacy_refiner_gan_step_freezes_d_for_adv():
                for x_, y_ in zip(
                    jax.tree_util.tree_leaves(params["coarse_model"]),
                    jax.tree_util.tree_leaves(new_params["coarse_model"])))
+
+
+def test_gan_weights_init_stats():
+    """gan_weights_init matches utils/net_utils.py:31-37: conv kernels
+    ~N(0, 0.02), BatchNorm scale ~N(1, 0.02) / bias 0, dense untouched."""
+    from deep_video_interpolation_extrapolation_tpu.train.state import (
+        gan_weights_init,
+    )
+    model = GAN(net_d="multi_scale_img_seg", num_d=2, dtype=jnp.float32)
+    batch = _inter_batch()
+    x = jnp.concatenate([batch["frame1"], batch["frame3"]], -1)
+    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], -1)
+    variables = model.init(KEY, x, seg, batch["frame2"], batch["seg2"],
+                           train=True)
+    params = gan_weights_init(jax.random.PRNGKey(3), variables["params"])
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    n_conv = n_bn = 0
+    for path, leaf in flat:
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        leaf_name = names[-1]
+        arr = np.asarray(leaf)
+        if leaf_name == "kernel" and arr.ndim == 4:
+            n_conv += 1
+            if arr.size >= 1000:
+                assert abs(arr.mean()) < 5e-3, names
+                assert abs(arr.std() - 0.02) < 5e-3, names
+        elif any("BatchNorm" in n for n in names[:-1]):
+            n_bn += 1
+            if leaf_name == "scale":
+                assert abs(arr.mean() - 1.0) < 2e-2, names
+            elif leaf_name == "bias":
+                assert np.all(arr == 0), names
+    assert n_conv > 10 and n_bn > 0
