@@ -74,8 +74,10 @@ def run(cfg: Config, exp_dir: Optional[str] = None) -> object:
         if cfg.checkepoch_range:
             return runner.validate_range()
         return runner.validate()
-    if cfg.split in ("cycgen", "mycycgen"):
+    if cfg.split == "cycgen":
         return runner.cycgen()
+    if cfg.split == "mycycgen":
+        return runner.mycycgen()
     raise SystemExit(
         f"split {cfg.split!r} has no implementation for runner {cfg.runner}"
         " (the reference's active runners also lack test(), main.py:96-97)")

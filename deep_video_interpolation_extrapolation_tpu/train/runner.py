@@ -411,6 +411,89 @@ class Runner:
         logger.info("cycgen: wrote %d clips under %s", n_clips, out_root)
         return out_root
 
+    def mycycgen(self, first_index: int = 25) -> str:
+        """Legacy Refiner ``mycycgen`` (runners/refiner.py:835-1010): read
+        frames ``{first_index}.0.png`` and ``{first_index+2}.0.png`` (plus
+        ``seg/`` id PNGs in xs2xs mode) from an EXISTING cycgen PNG tree,
+        interpolate the middle frame with one forward pass, and write
+        ``{first_index+1}.0.png`` (rgb) and its argmax-seg id PNG back into
+        the same tree — filling frame-rate gaps in previously generated
+        extrapolation videos.
+
+        The tree root is ``--cycgen_load_dir`` (the reference hard-codes
+        ``cycgen/cityscape/<HxW>/extra_wing`` under the exp dir and reads
+        only the first 61 val clips; we take any clip subdirectory of the
+        load root, capped at 61).  The reference's ``high_res``/``re_ref``
+        side outputs are dead code — those flags exist in no options file
+        (SURVEY §2.7) — so the refined (or coarse-only) prediction is used.
+        """
+        from PIL import Image
+        cfg = self.cfg
+        root = cfg.cycgen_load_dir or os.path.join(
+            self.exp_dir, "cycgen", cfg.dataset,
+            f"{cfg.input_h}x{cfg.input_w}", "extra_wing")
+        if not os.path.isdir(root):
+            raise SystemExit(f"mycycgen: load tree {root!r} does not exist")
+        clip_dirs = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)) and d != "seg")[:61]
+
+        def load_rgb(path):
+            arr = np.asarray(Image.open(path).convert("RGB"), np.float32)
+            return jnp.asarray(arr / 127.5 - 1.0)[None]
+
+        def load_seg(path):
+            ids = np.asarray(Image.open(path), np.int32)
+            return jnp.asarray(np.eye(20, dtype=np.float32)[ids])[None]
+
+        def fwd(x, seg):
+            variables = {"params": self.state.params}
+            if self.state.batch_stats:
+                variables["batch_stats"] = self.state.batch_stats
+            self.rng, k = jax.random.split(self.rng)
+            out = self.model.apply(variables, x, seg, train=False,
+                                   rngs={"noise": k})
+            # refined prediction when the model has a refine stage
+            # (refiner.py:974: pred_img = refine_imgs[-1]); coarse otherwise
+            if len(out) > 2 and isinstance(out[2], (list, tuple)):
+                return out[2][-1], out[1]
+            return out[0], out[1]
+
+        fwd = jax.jit(fwd)
+        i0, i2 = first_index, first_index + 2
+        n_done = 0
+        for clip in clip_dirs:
+            f0 = os.path.join(root, clip, f"{i0:0>2d}.0.png")
+            f2 = os.path.join(root, clip, f"{i2:0>2d}.0.png")
+            if not (os.path.exists(f0) and os.path.exists(f2)):
+                logger.warning("mycycgen: skip %s (missing %02d/%02d)",
+                               clip, i0, i2)
+                continue
+            imgs = [load_rgb(f0), load_rgb(f2)]
+            if cfg.mode == "xs2xs":
+                s0 = os.path.join(root, "seg", clip, f"{i0:0>2d}.0.png")
+                s2 = os.path.join(root, "seg", clip, f"{i2:0>2d}.0.png")
+                segs = [load_seg(s0), load_seg(s2)]
+                seg = jnp.concatenate(segs, axis=-1)
+            else:
+                seg = None
+            x = jnp.concatenate(imgs, axis=-1)
+            pred_rgb, pred_seg = fwd(x, seg)
+            rgb8 = ((np.asarray(pred_rgb[0], np.float32).clip(-1, 1) + 1)
+                    * 127.5).astype(np.uint8)
+            Image.fromarray(rgb8).save(
+                os.path.join(root, clip, f"{i0 + 1:0>2d}.0.png"))
+            if pred_seg is not None:
+                ids = np.asarray(jnp.argmax(pred_seg[0], -1), np.uint8)
+                seg_dir = os.path.join(root, "seg", clip)
+                os.makedirs(seg_dir, exist_ok=True)
+                Image.fromarray(ids).save(
+                    os.path.join(seg_dir, f"{i0 + 1:0>2d}.0.png"))
+            n_done += 1
+        logger.info("mycycgen: interpolated frame %02d.0 for %d clips under %s",
+                    first_index + 1, n_done, root)
+        return root
+
 
 class _GanEvalAdapter:
     """Applies the GAN coarse (VAEHRNet) submodel for eval/cycgen, exposing

@@ -87,3 +87,32 @@ def test_cli_cycgen_inter(tmp_path):
     pngs = glob.glob(os.path.join(clips[0], "rgb", "*.png"))
     assert len(pngs) == 3  # frame1, interpolated, frame3
     assert glob.glob(os.path.join(clips[0], "seg_vis", "*.png"))
+
+
+def test_cli_mycycgen(tmp_path):
+    """mycycgen (runners/refiner.py:835-1010): fills frame 26.0 of an
+    existing PNG tree from frames 25.0/27.0 + seg id PNGs."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    root = tmp_path / "tree"
+    for clip in ("aachen_000000", "aachen_000001"):
+        (root / clip).mkdir(parents=True)
+        (root / "seg" / clip).mkdir(parents=True)
+        for idx in (25, 27):
+            rgb = rng.randint(0, 255, (32, 64, 3), dtype=np.uint8)
+            Image.fromarray(rgb).save(root / clip / f"{idx:0>2d}.0.png")
+            ids = rng.randint(0, 20, (32, 64)).astype(np.uint8)
+            Image.fromarray(ids).save(root / "seg" / clip / f"{idx:0>2d}.0.png")
+    cfg = _cfg(
+        f"--split mycycgen --syn_type inter --cycgen_load_dir {root} "
+        "INTER --model InterNet")
+    out_root = run(cfg, exp_dir=str(tmp_path / "exp"))
+    for clip in ("aachen_000000", "aachen_000001"):
+        pred = os.path.join(out_root, clip, "26.0.png")
+        assert os.path.exists(pred), pred
+        assert np.asarray(__import__("PIL.Image", fromlist=["Image"])
+                          .open(pred)).shape == (32, 64, 3)
+        seg_pred = os.path.join(out_root, "seg", clip, "26.0.png")
+        assert os.path.exists(seg_pred), seg_pred
+        assert np.asarray(__import__("PIL.Image", fromlist=["Image"])
+                          .open(seg_pred)).max() < 20
