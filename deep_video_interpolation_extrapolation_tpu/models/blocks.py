@@ -120,8 +120,26 @@ class Conv(nn.Module):
                     preferred_element_type=dt)
                 return out + bd if bd is not None else out
             assert self.kernel in (1, 3) and self.stride == 1
-            kp = (pack_kernel_3x3(kd, f) if self.kernel == 3
-                  else pack_kernel_1x1(kd, f))
+            if self.kernel == 3:
+                import os
+                if os.environ.get("DVIE_PACKED_AE", "0") != "0":
+                    # A+E decomposition: ~33% (f=2) / ~58% (f=4) fewer
+                    # padded MXU FLOPs on paper, but measured SLOWER
+                    # composed in XLA (layer1 45->69 ms, stage3 69->110 ms
+                    # at 8x512x1024 bf16 on v5e): the (3,1)-kernel convs
+                    # and the E-input materialization lower poorly.
+                    # Kept opt-in for kernel-internal reuse
+                    # (ops/packed_conv.py ae_kernels_3x3).
+                    from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+                        conv3x3_packed_ae,
+                    )
+                    out = conv3x3_packed_ae(xd, kd, f, preferred_dtype=dt)
+                    if bd is not None:
+                        out = out + jnp.tile(bd, f)
+                    return out
+                kp = pack_kernel_3x3(kd, f)
+            else:
+                kp = pack_kernel_1x1(kd, f)
             out = jax.lax.conv_general_dilated(
                 xd, kp, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
