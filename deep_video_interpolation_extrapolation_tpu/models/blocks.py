@@ -51,11 +51,29 @@ class Conv(nn.Module):
     # MXU-padded FLOPs when 9*features <= 256 << 9*128.  Requires
     # kernel=3, stride=1, dilation=1, pad=1, unpacked.
     tapped: bool = False
+    # Static input channel count — only needed for ``return_params`` calls
+    # where no input tensor is available to derive it from.
+    in_features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_params: bool = False):
         import jax
         import jax.lax
+
+        if return_params:
+            # create/fetch the params without computing (used by fused
+            # multi-module kernels that consume the raw weights, e.g.
+            # ops/pallas_upshead.py); identical names/shapes/init to the
+            # compute path, so checkpoints interchange freely.
+            assert self.in_features is not None
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.kernel, self.kernel, self.in_features, self.features),
+                jnp.float32)
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            ) if self.use_bias else None
+            return kernel, bias
 
         pad = self.padding if self.padding is not None else (self.kernel // 2) * self.dilation
         f = int(self.packed_io)

@@ -165,9 +165,15 @@ class _Transition(nn.Module):
 
 
 class _HRBackbone(nn.Module):
-    """Stem + layer1 + stage2/3(/4) + upsample-concat (shared by HRNet/VAEHRNet)."""
+    """Stem + layer1 + stage2/3(/4) + upsample-concat (shared by HRNet/VAEHRNet).
+
+    ``return_parts=True`` skips the upsample-concat and returns the raw
+    multi-resolution pyramid (for the fused upsample+head kernel,
+    ops/pallas_upshead.py).
+    """
     highres_large: bool = False
     dtype: Optional[Dtype] = None
+    return_parts: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -213,6 +219,8 @@ class _HRBackbone(nn.Module):
             xs = HighResolutionModule(
                 dtype=self.dtype, name="stage4", **STAGE4_CFG)(xs)
 
+        if self.return_parts:
+            return xs
         # upsample-concat (nets/HRNet.py:575-582).  Measured note: feeding
         # the heads the parts list (K-distributed 1x1s, blocks.Conv list
         # input) avoids materializing this concat but is ~33 ms/step SLOWER
@@ -229,20 +237,89 @@ class _Head(nn.Module):
     """1x1 conv + lrelu + 3x3 conv head (nets/HRNet.py:410-442).
 
     Accepts either the channel-concat feature map or the list of pyramid
-    parts (the 1x1 then K-distributes; same params, same math).
+    parts (the 1x1 then K-distributes; same params, same math).  With
+    ``h1`` given, the 1x1+lrelu was computed externally (by the fused
+    upsample+dual-head kernel, ops/pallas_upshead.py) and only the 3x3
+    runs here; ``fc1_params()`` exposes the 1x1 weights to that kernel.
+    Param names match the historical compact auto-naming
+    (Conv_0 = 1x1, Conv_1 = 3x3) — checkpoint-compatible.
     """
     out_dim: int
+    cin: int
     dtype: Optional[Dtype] = None
 
-    @nn.compact
-    def __call__(self, x):
-        cin = (sum(t.shape[-1] for t in x) if isinstance(x, (list, tuple))
-               else x.shape[-1])
-        h = lrelu(Conv(cin, 1, padding=0, dtype=self.dtype)(x))
+    def setup(self):
+        self.fc1 = Conv(self.cin, 1, padding=0, dtype=self.dtype,
+                        in_features=self.cin, name="Conv_0")
         # tiny-Cout 3x3 runs taps-in-N (ops/tapped_conv.py): measured 84 ms
         # -> 47 ms for the dual-head region at 8x512x1024 bf16 on v5e
-        return Conv(self.out_dim, 3, dtype=self.dtype,
-                    tapped=self.out_dim * 9 <= 256)(h)
+        self.conv2 = Conv(self.out_dim, 3, dtype=self.dtype,
+                          tapped=self.out_dim * 9 <= 256,
+                          in_features=self.cin, name="Conv_1")
+
+    def __call__(self, x, h1=None):
+        if h1 is None:
+            h1 = lrelu(self.fc1(x))
+        return self.conv2(h1)
+
+    def fc1_params(self):
+        return self.fc1(None, return_params=True)
+
+    def conv2_params(self):
+        return self.conv2(None, return_params=True)
+
+
+def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
+                 highres_large: bool, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backbone tail + both heads, fused on TPU when shapes allow.
+
+    Must be called from within the owning module's compact ``__call__``
+    (submodules attach to the ambient context).  ``run_backbone(
+    return_parts)`` builds + applies the backbone.  The fused path
+    (ops/pallas_upshead.py) computes upsample-concat and both heads'
+    1x1+lrelu in one Pallas pass over the stage pyramid.  Falls back to
+    the XLA composition off-TPU, for highres_large (4 parts), for
+    unsuitable shapes, or with DVIE_FUSED_HEAD=0.  NOTE: the pallas path
+    assumes activations are not sharded over a spatial mesh axis.
+    """
+    import os
+
+    n_ch = STAGE4_CFG["num_channels"] if highres_large else STAGE3_CFG["num_channels"]
+    cin = sum(n_ch)
+    rgb_head = _Head(rgb_dim, cin, dtype=dtype, name="rgb_layer")
+    seg_head = _Head(seg_dim, cin, dtype=dtype, name="seg_layer")
+
+    use_fused = (jax.default_backend() == "tpu" and not highres_large
+                 and os.environ.get("DVIE_FUSED_HEAD", "1") != "0")
+    if use_fused:
+        parts = run_backbone(True)
+        from deep_video_interpolation_extrapolation_tpu.ops import pallas_upshead
+        if pallas_upshead.fits(*parts):
+            (wr, br) = rgb_head.fc1_params()
+            (ws, bs) = seg_head.fc1_params()
+            w1 = jnp.concatenate([wr[0, 0], ws[0, 0]], axis=1)
+            b1 = jnp.concatenate([br, bs]).astype(jnp.float32)
+            h = pallas_upshead.ups_head_1x1(*parts, w1, b1)
+            if rgb_head.out_dim * 9 <= 128 and seg_head.out_dim * 9 <= 256:
+                # both heads' 3x3s in ONE taps matmul over h — lane-slicing
+                # h before separate convs would materialize two full-size
+                # copies (ops/tapped_conv.dual_conv3x3_tapped)
+                from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+                    dual_conv3x3_tapped,
+                )
+                (w2r, b2r) = rgb_head.conv2_params()
+                (w2s, b2s) = seg_head.conv2_params()
+                return dual_conv3x3_tapped(h, w2r, b2r, w2s, b2s)
+            return rgb_head(None, h1=h[..., :cin]), seg_head(None, h1=h[..., cin:])
+        size = parts[0].shape[1:3]
+        ups = [parts[0]] + [
+            interpolate_bilinear(t, size=size, align_corners=False)
+            for t in parts[1:]
+        ]
+        feat = jnp.concatenate(ups, axis=-1)
+    else:
+        feat = run_backbone(False)
+    return rgb_head(feat), seg_head(feat)
 
 
 def _encode_inputs(
@@ -305,7 +382,6 @@ class HRNet(nn.Module):
     @nn.compact
     def __call__(self, rgb, seg, train: bool = True):
         x = _encode_inputs(rgb, seg, self.seg_encoder)
-        feat = _HRBackbone(self.highres_large, dtype=self.dtype, name="backbone")(x)
 
         if self.syn_type == "extra":
             rgb_dim = (4 if self.inpaint_mask else 3) * self.num_pred_once
@@ -313,8 +389,10 @@ class HRNet(nn.Module):
         else:
             rgb_dim = 3
             seg_dim = 20
-        rgb_out = _Head(rgb_dim, dtype=self.dtype, name="rgb_layer")(feat)
-        seg_out = _Head(seg_dim, dtype=self.dtype, name="seg_layer")(feat)
+        rgb_out, seg_out = _apply_heads(
+            lambda parts: _HRBackbone(self.highres_large, dtype=self.dtype,
+                                      return_parts=parts, name="backbone")(x),
+            rgb_dim, seg_dim, self.highres_large, self.dtype)
 
         mask_out = None
         if self.syn_type == "extra" and self.inpaint and self.inpaint_mask:
@@ -419,7 +497,6 @@ class VAEHRNet(nn.Module):
 
         x = _encode_inputs(rgb, seg, self.seg_encoder)
         x = jnp.concatenate([vae_feature, x], axis=-1)
-        feat = _HRBackbone(self.highres_large, dtype=self.dtype, name="backbone")(x)
 
         if self.syn_type == "extra":
             rgb_dim = (4 if self.inpaint_mask else 3) * self.num_pred_once
@@ -427,8 +504,10 @@ class VAEHRNet(nn.Module):
         else:
             rgb_dim = 3
             seg_dim = 20
-        rgb_out = _Head(rgb_dim, dtype=self.dtype, name="rgb_layer")(feat)
-        seg_out = _Head(seg_dim, dtype=self.dtype, name="seg_layer")(feat)
+        rgb_out, seg_out = _apply_heads(
+            lambda parts: _HRBackbone(self.highres_large, dtype=self.dtype,
+                                      return_parts=parts, name="backbone")(x),
+            rgb_dim, seg_dim, self.highres_large, self.dtype)
         if self.syn_type == "extra":
             rgb_out = rgb_out[..., :3 * self.num_pred_once]
         return rgb_out, seg_out, mu, logvar

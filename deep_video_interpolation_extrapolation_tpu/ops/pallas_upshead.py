@@ -1,0 +1,234 @@
+"""Fused upsample-concat + dual-head 1x1 Pallas kernel.
+
+The HRNet output stage (reference nets/HRNet.py:575-582,410-442) upsamples
+the stage-3 pyramid (64ch @1x, 128ch @1/2, 256ch @1/4) to full resolution,
+concatenates to 448 channels, and runs each head's ``1x1 conv -> lrelu``
+on the 3.76 GB (8x512x1024 bf16) concat.  Composed in XLA this region is
+HBM-bound at ~32% MXU utilization (profiled: ups-concat 28.7 ms + heads
+75.7 ms): the upsampled parts and the concat each make full HBM round
+trips, and each head re-reads the concat.
+
+This kernel computes ``h = lrelu(concat([p0, up2x(p1), up4x(p2)]) @ W1 +
+b1)`` for BOTH heads in one pass (N = 896 = 7*128, MXU-aligned), reading
+each pyramid part from HBM exactly once and never materializing the
+upsampled parts or the concat:
+
+- per (batch, 8-row, 32-cell) tile: p0 arrives via a pipelined BlockSpec;
+  1-halo slabs of p1 (width-packed f=2) and p2 are DMA'd manually from
+  edge-padded arrays (edge padding = torch's align_corners=False clamp);
+- bilinear x2/x4 upsampling runs on the VPU in f32: static per-row blends
+  (rows are the untiled major dim, so row taps are free) and per-phase
+  column blends in the width-packed layout (out-phase p of an f4-packed
+  output cell is a fixed blend of whole 128-lane blocks — no sublane
+  interleave, the classic packed-layout win, see ops/packed_conv.py);
+- the three per-part contractions accumulate in f32 on the MXU
+  (K = 64 | 128 | 256 against the row-split W1), bias + lrelu fuse in,
+  and only the (B, H, W, 896) h tensor is written back.
+
+Upsample weight derivation (half-pixel convention, matching
+ops/resize.interpolate_bilinear(align_corners=False) exactly):
+x2: out col o -> in coord o/2 - 0.25; even o: 0.25*in[i-1] + 0.75*in[i],
+odd o: 0.75*in[i] + 0.25*in[i+1] (i = o//2).  x4: out o -> in o/4 - 0.375;
+phase weights (0.375, 0.625), (0.125, 0.875), (0.875, 0.125),
+(0.625, 0.375).
+
+Differentiable via custom_vjp: backward = jax.vjp of the XLA reference
+composition (exact same math).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 8    # output rows per program
+WT = 32   # output f4-cells per program (= 128 px)
+
+
+def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
+            out_ref, *, th: int, wt: int):
+    dn = (((2,), (0,)), ((), ()))
+    x0 = x0_ref[0]                                   # (th, 4wt, C0)
+    acc = jax.lax.dot_general(x0, w1a_ref[...], dn,
+                              preferred_element_type=jnp.float32)
+
+    # ---- x2 upsample of p1 (f2-packed: lanes = [phase0 C1 | phase1 C1]);
+    # the 1-halo slabs arrive pre-tiled + BlockSpec-pipelined (the host
+    # materializes overlapping windows once — manual in-kernel DMA waits
+    # serialized ~4 us/program across the 4096-program grid)
+    v1 = p1_ref[0].astype(jnp.float32)               # (th/2+2, wt+16, 2C1)
+    rows = []
+    for r in range(th):
+        a = r // 2 + 1
+        if r % 2 == 0:
+            rows.append(0.25 * v1[a - 1] + 0.75 * v1[a])
+        else:
+            rows.append(0.75 * v1[a] + 0.25 * v1[a + 1])
+    u1 = jnp.stack(rows)                             # (th, wt+16, 2C1)
+    c1 = u1.shape[-1] // 2
+    ph0, ph1 = u1[:, :, :c1], u1[:, :, c1:]
+    # +-1 cell shifts via POSITIVE pltpu.roll (a -1 shift is +(S-1) with no
+    # wrap into the used window), so every slice starts at the 8-aligned
+    # center and all concat operands share offset-0 layouts — Mosaic
+    # rejects concats of mixed-offset operands, and sublane slices at
+    # start 7/9 would carry offsets 7/1.
+    s_cells = u1.shape[1]
+    cm1_p1 = pltpu.roll(ph1, 1, axis=1)[:, 8:8 + wt]
+    c_p0 = ph0[:, 8:8 + wt]
+    c_p1 = ph1[:, 8:8 + wt]
+    cp1_p0 = pltpu.roll(ph0, s_cells - 1, axis=1)[:, 8:8 + wt]
+    up1 = jnp.concatenate([
+        0.25 * cm1_p1 + 0.75 * c_p0,
+        0.75 * c_p0 + 0.25 * c_p1,
+        0.25 * c_p0 + 0.75 * c_p1,
+        0.75 * c_p1 + 0.25 * cp1_p0,
+    ], axis=-1).astype(x0.dtype)                     # (th, wt, 4C1) f4-packed
+    up1 = up1.reshape(th, 4 * wt, c1)                # unpack (bitwise)
+    acc = acc + jax.lax.dot_general(up1, w1b_ref[...], dn,
+                                    preferred_element_type=jnp.float32)
+
+    # ---- x4 upsample of p2 (unpacked: sublane = source column)
+    v2 = p2_ref[0].astype(jnp.float32)               # (th/4+2, wt+16, C2)
+    rows = []
+    wts = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125), (0.625, 0.375))
+    for r in range(th):
+        a = r // 4 + 1
+        w_lo, w_hi = wts[r % 4]
+        if r % 4 < 2:
+            rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
+        else:
+            rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
+    u2 = jnp.stack(rows)                             # (th, wt+16, C2)
+    cm1 = pltpu.roll(u2, 1, axis=1)[:, 8:8 + wt]
+    cc = u2[:, 8:8 + wt]
+    cp1_ = pltpu.roll(u2, u2.shape[1] - 1, axis=1)[:, 8:8 + wt]
+    up2 = jnp.concatenate([
+        0.375 * cm1 + 0.625 * cc,
+        0.125 * cm1 + 0.875 * cc,
+        0.875 * cc + 0.125 * cp1_,
+        0.625 * cc + 0.375 * cp1_,
+    ], axis=-1).astype(x0.dtype)                     # (th, wt, 4C2)
+    c2 = v2.shape[-1]
+    up2 = up2.reshape(th, 4 * wt, c2)
+    acc = acc + jax.lax.dot_general(up2, w1c_ref[...], dn,
+                                    preferred_element_type=jnp.float32)
+
+    h = acc + b1_ref[...]
+    h = jnp.where(h >= 0, h, 0.2 * h)
+    out_ref[0] = h.astype(out_ref.dtype)
+
+
+def _ups_head_ref(p0, p1, p2, w1, b1):
+    """XLA reference: upsample-concat + 1x1 + lrelu (the unfused math)."""
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        interpolate_bilinear,
+    )
+    size = p0.shape[1:3]
+    cat = jnp.concatenate([
+        p0,
+        interpolate_bilinear(p1, size=size, align_corners=False),
+        interpolate_bilinear(p2, size=size, align_corners=False),
+    ], axis=-1)
+    h = jnp.einsum("bhwc,cn->bhwn", cat, w1.astype(cat.dtype),
+                   preferred_element_type=cat.dtype) + b1.astype(cat.dtype)
+    return jnp.where(h >= 0, h, 0.2 * h)
+
+
+def _pallas_impl(p0, p1, p2, w1, b1, interpret=False):
+    b, h, w, c0 = p0.shape
+    c1, c2 = p1.shape[-1], p2.shape[-1]
+    th, wt = TH, WT
+    w4 = w // 4
+    while w4 % wt:
+        wt //= 2
+    assert h % th == 0 and w % 8 == 0 and wt >= 8, (h, w)
+
+    dt = p0.dtype
+    ni, nj = h // th, w4 // wt
+    # pack p1 to f2 AFTER logical edge-padding (cell -1 phase 1 must clamp
+    # to logical column 0, not column 1)
+    p1p = jnp.pad(p1, ((0, 0), (1, 1), (16, 16), (0, 0)), mode="edge")
+    p1p = p1p.reshape(b, h // 2 + 2, w4 + 16, 2 * c1)
+    p2p = jnp.pad(p2, ((0, 0), (1, 1), (8, 8), (0, 0)), mode="edge")
+
+    # materialize the overlapping 1-halo windows host-side so every input
+    # rides an automatically double-buffered BlockSpec (~1.5x the part
+    # bytes; the parts are 10x smaller than the output)
+    def _tiles(arr, rh):
+        def get(a, ti, tj):
+            return jax.lax.dynamic_slice(
+                a, (ti * (rh - 2), tj * wt, 0), (rh, wt + 16, arr.shape[-1]))
+        f = jax.vmap(jax.vmap(get, (None, None, 0)), (None, 0, None))
+        t = jax.vmap(lambda a: f(a, jnp.arange(ni), jnp.arange(nj)))(arr)
+        return t.reshape(b * ni * nj, rh, wt + 16, arr.shape[-1])
+
+    p1t = _tiles(p1p, th // 2 + 2)
+    p2t = _tiles(p2p, th // 4 + 2)
+
+    w1 = w1.astype(dt)
+    w1a, w1b, w1c = w1[:c0], w1[c0:c0 + c1], w1[c0 + c1:]
+    n = w1.shape[1]
+
+    kern = functools.partial(_kernel, th=th, wt=wt)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, th, 4 * wt, c0), lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, th // 2 + 2, wt + 16, 2 * c1),
+                lambda bi, i, j, _ni=ni, _nj=nj: ((bi * _ni + i) * _nj + j, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, th // 4 + 2, wt + 16, c2),
+                lambda bi, i, j, _ni=ni, _nj=nj: ((bi * _ni + i) * _nj + j, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, 4 * wt, n), lambda bi, i, j: (bi, i, j, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, n), dt),
+        interpret=interpret,
+    )(p0, p1t, p2t, w1a, w1b, w1c, b1.astype(jnp.float32))
+    return out
+
+
+@jax.custom_vjp
+def ups_head_1x1(p0, p1, p2, w1, b1):
+    """lrelu(concat([p0, up2x(p1), up4x(p2)], -1) @ w1 + b1), fused.
+
+    p0 (B,H,W,C0), p1 (B,H/2,W/2,C1), p2 (B,H/4,W/4,C2); w1
+    (C0+C1+C2, N); b1 (N,).  N packs all heads' 1x1s column-wise.
+    """
+    return _pallas_impl(p0, p1, p2, w1, b1)
+
+
+def _fwd(p0, p1, p2, w1, b1):
+    return ups_head_1x1(p0, p1, p2, w1, b1), (p0, p1, p2, w1, b1)
+
+
+def _bwd(res, g):
+    _, vjp = jax.vjp(_ups_head_ref, *res)
+    return vjp(g)
+
+
+ups_head_1x1.defvjp(_fwd, _bwd)
+
+
+def fits(p0, p1, p2) -> bool:
+    """Shape gate for the fused path (see _pallas_impl asserts)."""
+    b, h, w, c0 = p0.shape
+    return (h % TH == 0 and w % 32 == 0 and w >= 32
+            and p1.shape[1:3] == (h // 2, w // 2)
+            and p2.shape[1:3] == (h // 4, w // 4)
+            and p1.shape[-1] % 128 == 0 and p2.shape[-1] % 128 == 0
+            and (h // 4) >= 2)

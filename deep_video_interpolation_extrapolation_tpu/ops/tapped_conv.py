@@ -65,3 +65,56 @@ def conv3x3_tapped(
     if b is not None:
         out = out + b
     return out
+
+
+def dual_conv3x3_tapped(
+    h: jnp.ndarray,
+    w_rgb: jnp.ndarray, b_rgb: Optional[jnp.ndarray],
+    w_seg: jnp.ndarray, b_seg: Optional[jnp.ndarray],
+):
+    """Both HRNet head 3x3s over the lane-concat hidden state, taps-in-N.
+
+    ``h`` (B, H, W, 2*Cin) stacks the two heads' post-1x1 activations
+    (lanes [0:Cin] = rgb head, [Cin:2Cin] = seg head — the layout the
+    fused upsample+1x1 kernel writes, ops/pallas_upshead.py).  Computes
+    rgb = conv3x3(h[..., :Cin], w_rgb), seg = conv3x3(h[..., Cin:], w_seg)
+    WITHOUT slicing h: lane-slicing a (B, H, W, 896) tensor before a conv
+    materializes two full-size copies (+7.5 GB of HBM traffic at
+    8x512x1024 bf16) because TPU convs read materialized operands.  The
+    single taps matmul uses a (2Cin, 9*(Cr+Cs)) block kernel (rgb rows ->
+    rgb columns, seg rows -> seg columns), then one 9-way shifted add over
+    the (.., 9, Cr+Cs) view covers both heads at once.
+
+    Returns (rgb (B,H,W,Cr), seg (B,H,W,Cs)).
+    """
+    kh, kw, cin, cr = w_rgb.shape
+    _, _, cin2, cs = w_seg.shape
+    assert kh == 3 and kw == 3 and cin == cin2 and h.shape[-1] == 2 * cin
+    B, H, W, _ = h.shape
+    co = cr + cs
+    wr9 = jnp.transpose(w_rgb.reshape(9, cin, cr), (1, 0, 2))  # (Cin, 9, Cr)
+    ws9 = jnp.transpose(w_seg.reshape(9, cin, cs), (1, 0, 2))
+    wt = jnp.zeros((2 * cin, 9, co), h.dtype)
+    wt = wt.at[:cin, :, :cr].set(wr9.astype(h.dtype))
+    wt = wt.at[cin:, :, cr:].set(ws9.astype(h.dtype))
+    wt = wt.reshape(1, 1, 2 * cin, 9 * co)
+    yt = jax.lax.conv_general_dilated(
+        h, wt, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=h.dtype,
+    ).reshape(B, H, W, 9, co)
+    ytp = jnp.pad(yt, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    out = None
+    for ky in range(3):
+        for kx in range(3):
+            t = ky * 3 + kx
+            sl = jax.lax.slice(
+                ytp, (0, ky, kx, t, 0),
+                (B, ky + H, kx + W, t + 1, co))[..., 0, :]
+            out = sl if out is None else out + sl
+    bias = jnp.concatenate([
+        (b_rgb if b_rgb is not None else jnp.zeros((cr,))),
+        (b_seg if b_seg is not None else jnp.zeros((cs,))),
+    ]).astype(h.dtype)
+    out = out + bias
+    return out[..., :cr], out[..., cr:]

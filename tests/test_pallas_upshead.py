@@ -1,0 +1,113 @@
+"""Fused upsample-concat + dual-head 1x1 kernel vs the XLA composition.
+
+On the CPU test mesh the kernel runs in interpret mode; the same parity
+(plus gradients through the custom_vjp) is exercised on real TPU by the
+scratch bench runs.  Reference math: ops/resize.interpolate_bilinear
+(align_corners=False, torch half-pixel convention) + concat + 1x1 + lrelu
+(reference nets/HRNet.py:575-582,410-442).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+    _pallas_impl,
+    _ups_head_ref,
+    fits,
+)
+
+
+def _mk(b, h, w, dtype=jnp.float32, seed=0):
+    rng = np.random.RandomState(seed)
+    p0 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 64)), dtype)
+    p1 = jnp.asarray(rng.uniform(-1, 1, (b, h // 2, w // 2, 128)), dtype)
+    p2 = jnp.asarray(rng.uniform(-1, 1, (b, h // 4, w // 4, 256)), dtype)
+    w1 = jnp.asarray(rng.uniform(-0.1, 0.1, (448, 896)), jnp.float32)
+    b1 = jnp.asarray(rng.uniform(-0.1, 0.1, (896,)), jnp.float32)
+    return p0, p1, p2, w1, b1
+
+
+@pytest.mark.parametrize("shape", [(1, 16, 32), (2, 32, 64), (1, 8, 96)])
+def test_fused_ups_head_matches_ref(shape):
+    b, h, w = shape
+    p0, p1, p2, w1, b1 = _mk(b, h, w)
+    assert fits(p0, p1, p2)
+    interpret = jax.default_backend() != "tpu"
+    out = np.asarray(_pallas_impl(p0, p1, p2, w1, b1, interpret=interpret))
+    ref = np.asarray(_ups_head_ref(p0, p1, p2, w1, b1))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_ups_head_edge_clamp():
+    """Border columns/rows must follow the align_corners=False clamp, not
+    zero padding (the kernel edge-pads packed arrays logically)."""
+    p0, p1, p2, w1, b1 = _mk(1, 16, 32, seed=3)
+    # make border values extreme so a clamp/zero mixup is visible
+    p1 = p1.at[:, :, 0, :].set(7.0).at[:, :, -1, :].set(-7.0)
+    p2 = p2.at[:, 0, :, :].set(5.0).at[:, -1, :, :].set(-5.0)
+    interpret = jax.default_backend() != "tpu"
+    out = np.asarray(_pallas_impl(p0, p1, p2, w1, b1, interpret=interpret))
+    ref = np.asarray(_ups_head_ref(p0, p1, p2, w1, b1))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_fits_gate():
+    p0, p1, p2, _, _ = _mk(1, 16, 32)
+    assert fits(p0, p1, p2)
+    assert not fits(p0[:, :12], p1, p2)          # H % 8
+    assert not fits(p0[:, :, :24], p1, p2)       # W % 32
+    assert not fits(p0, p1[:, :, :, :64], p2)    # C1 % 128
+
+
+def test_hrnet_fused_path_matches_unfused():
+    """HRNet with DVIE_FUSED_HEAD toggled produces identical params; on
+    non-TPU backends both settings take the XLA path (gate check)."""
+    import os
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import HRNet
+
+    m = HRNet(dtype=jnp.float32)
+    rgb = jnp.zeros((1, 16, 32, 6))
+    seg = jnp.zeros((1, 16, 32, 40))
+    v = m.init(jax.random.PRNGKey(0), rgb, seg, train=False)
+    # param tree unchanged by the restructured _Head (checkpoint contract)
+    assert set(v["params"].keys()) == {
+        "backbone", "rgb_layer", "seg_layer", "seg_encoder"}
+    assert set(v["params"]["rgb_layer"].keys()) == {"Conv_0", "Conv_1"}
+    assert v["params"]["rgb_layer"]["Conv_0"]["kernel"].shape == (1, 1, 448, 448)
+    old = os.environ.get("DVIE_FUSED_HEAD")
+    try:
+        os.environ["DVIE_FUSED_HEAD"] = "0"
+        r0, s0 = m.apply(v, rgb, seg, train=False)
+    finally:
+        if old is None:
+            os.environ.pop("DVIE_FUSED_HEAD", None)
+        else:
+            os.environ["DVIE_FUSED_HEAD"] = old
+    r1, s1 = m.apply(v, rgb, seg, train=False)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)
+
+
+def test_dual_conv3x3_tapped_matches_separate():
+    from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+        dual_conv3x3_tapped,
+    )
+    rng = np.random.RandomState(5)
+    h = jnp.asarray(rng.uniform(-1, 1, (2, 8, 12, 32)), jnp.float32)
+    wr = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 16, 3)), jnp.float32)
+    ws = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 16, 20)), jnp.float32)
+    br = jnp.asarray(rng.uniform(-0.1, 0.1, (3,)), jnp.float32)
+    bs = jnp.asarray(rng.uniform(-0.1, 0.1, (20,)), jnp.float32)
+
+    def ref(x, w, b):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    r, s = dual_conv3x3_tapped(h, wr, br, ws, bs)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref(h[..., :16], wr, br)),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref(h[..., 16:], ws, bs)),
+                               atol=1e-5, rtol=1e-5)

@@ -90,8 +90,8 @@ class _Prefix(nn.Module):
         feat = jnp.concatenate(ups, axis=-1)
         if self.stage == 7:
             return feat
-        rgb_out = hrnet_lib._Head(3, dtype=self.dtype, name="rgb_layer")(feat)
-        seg_out = hrnet_lib._Head(20, dtype=self.dtype, name="seg_layer")(feat)
+        rgb_out = hrnet_lib._Head(3, 448, dtype=self.dtype, name="rgb_layer")(feat)
+        seg_out = hrnet_lib._Head(20, 448, dtype=self.dtype, name="seg_layer")(feat)
         return jnp.concatenate([rgb_out, seg_out], axis=-1)
 
 
