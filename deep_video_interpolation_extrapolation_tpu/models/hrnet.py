@@ -299,17 +299,25 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
             (ws, bs) = seg_head.fc1_params()
             w1 = jnp.concatenate([wr[0, 0], ws[0, 0]], axis=1)
             b1 = jnp.concatenate([br, bs]).astype(jnp.float32)
-            h = pallas_upshead.ups_head_1x1(*parts, w1, b1)
             if rgb_head.out_dim * 9 <= 128 and seg_head.out_dim * 9 <= 256:
-                # both heads' 3x3s in ONE taps matmul over h — lane-slicing
-                # h before separate convs would materialize two full-size
-                # copies (ops/tapped_conv.dual_conv3x3_tapped)
+                # both heads' 3x3s fold into the kernel as one taps-in-N
+                # matmul: only the 9*(Cr+Cs)-lane tap tensor leaves VMEM
+                # (lane-slicing h before separate convs would materialize
+                # two full-size copies); finish with the 9-way shifted add
                 from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
-                    dual_conv3x3_tapped,
+                    build_dual_tap_kernel,
+                    taps_shifted_add,
                 )
                 (w2r, b2r) = rgb_head.conv2_params()
                 (w2s, b2s) = seg_head.conv2_params()
-                return dual_conv3x3_tapped(h, w2r, b2r, w2s, b2s)
+                dt = parts[0].dtype
+                w2t = build_dual_tap_kernel(w2r, w2s, dt)
+                yt = pallas_upshead.ups_head_taps(*parts, w1, b1, w2t)
+                co = rgb_head.out_dim + seg_head.out_dim
+                out = taps_shifted_add(yt, co)
+                out = out + jnp.concatenate([b2r, b2s]).astype(dt)
+                return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
+            h = pallas_upshead.ups_head_1x1(*parts, w1, b1)
             return rgb_head(None, h1=h[..., :cin]), seg_head(None, h1=h[..., cin:])
         size = parts[0].shape[1:3]
         ups = [parts[0]] + [

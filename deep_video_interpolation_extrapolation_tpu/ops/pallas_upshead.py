@@ -50,7 +50,11 @@ WT = 32   # output f4-cells per program (= 128 px)
 
 
 def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
-            out_ref, *, th: int, wt: int):
+            *rest, th: int, wt: int):
+    if len(rest) == 2:
+        w2t_ref, out_ref = rest
+    else:
+        (out_ref,), w2t_ref = rest, None
     dn = (((2,), (0,)), ((), ()))
     x0 = x0_ref[0]                                   # (th, 4wt, C0)
     acc = jax.lax.dot_general(x0, w1a_ref[...], dn,
@@ -119,7 +123,17 @@ def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
 
     h = acc + b1_ref[...]
     h = jnp.where(h >= 0, h, 0.2 * h)
-    out_ref[0] = h.astype(out_ref.dtype)
+    if w2t_ref is None:
+        out_ref[0] = h.astype(out_ref.dtype)
+        return
+    # in-kernel taps-in-N matmul for both heads' 3x3s: writing the
+    # 9*(Cr+Cs)-lane tap tensor instead of the 2*C1-lane hidden state cuts
+    # the kernel's HBM output 4.3x (h never leaves VMEM); the cheap 9-way
+    # shifted add runs in XLA downstream (ops/tapped_conv.taps_shifted_add)
+    hh = h.astype(out_ref.dtype)
+    yt = jax.lax.dot_general(hh, w2t_ref[...], dn,
+                             preferred_element_type=jnp.float32)
+    out_ref[0] = yt.astype(out_ref.dtype)
 
 
 def _ups_head_ref(p0, p1, p2, w1, b1):
@@ -138,7 +152,7 @@ def _ups_head_ref(p0, p1, p2, w1, b1):
     return jnp.where(h >= 0, h, 0.2 * h)
 
 
-def _pallas_impl(p0, p1, p2, w1, b1, interpret=False):
+def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
     b, h, w, c0 = p0.shape
     c1, c2 = p1.shape[-1], p2.shape[-1]
     th, wt = TH, WT
@@ -171,34 +185,39 @@ def _pallas_impl(p0, p1, p2, w1, b1, interpret=False):
 
     w1 = w1.astype(dt)
     w1a, w1b, w1c = w1[:c0], w1[c0:c0 + c1], w1[c0 + c1:]
-    n = w1.shape[1]
+    n = w1.shape[1] if w2t is None else w2t.shape[1]
 
     kern = functools.partial(_kernel, th=th, wt=wt)
+    in_specs = [
+        pl.BlockSpec((1, th, 4 * wt, c0), lambda bi, i, j: (bi, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, th // 2 + 2, wt + 16, 2 * c1),
+            lambda bi, i, j, _ni=ni, _nj=nj: ((bi * _ni + i) * _nj + j, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, th // 4 + 2, wt + 16, c2),
+            lambda bi, i, j, _ni=ni, _nj=nj: ((bi * _ni + i) * _nj + j, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [p0, p1t, p2t, w1a, w1b, w1c, b1.astype(jnp.float32)]
+    if w2t is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(w2t.astype(dt))
     out = pl.pallas_call(
         kern,
         grid=(b, ni, nj),
-        in_specs=[
-            pl.BlockSpec((1, th, 4 * wt, c0), lambda bi, i, j: (bi, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, th // 2 + 2, wt + 16, 2 * c1),
-                lambda bi, i, j, _ni=ni, _nj=nj: ((bi * _ni + i) * _nj + j, 0, 0, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, th // 4 + 2, wt + 16, c2),
-                lambda bi, i, j, _ni=ni, _nj=nj: ((bi * _ni + i) * _nj + j, 0, 0, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, th, 4 * wt, n), lambda bi, i, j: (bi, i, j, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, n), dt),
         interpret=interpret,
-    )(p0, p1t, p2t, w1a, w1b, w1c, b1.astype(jnp.float32))
+    )(*args)
     return out
 
 
@@ -222,6 +241,37 @@ def _bwd(res, g):
 
 
 ups_head_1x1.defvjp(_fwd, _bwd)
+
+
+def _ups_head_taps_ref(p0, p1, p2, w1, b1, w2t):
+    h = _ups_head_ref(p0, p1, p2, w1, b1)
+    return jnp.einsum("bhwc,cn->bhwn", h, w2t.astype(h.dtype),
+                      preferred_element_type=h.dtype)
+
+
+@jax.custom_vjp
+def ups_head_taps(p0, p1, p2, w1, b1, w2t):
+    """Fused upsample-concat + dual 1x1 + lrelu + taps-in-N matmul.
+
+    Same as :func:`ups_head_1x1` followed by ``h @ w2t`` (both heads' 3x3
+    head convs in taps-in-N form, ops/tapped_conv.build_dual_tap_kernel),
+    but the 2C-lane hidden state never leaves VMEM — only the
+    (B, H, W, 9*(Cr+Cs)) tap tensor is written (4.3x less output HBM at
+    the HRNet head shape).  Finish with taps_shifted_add + bias.
+    """
+    return _pallas_impl(p0, p1, p2, w1, b1, w2t=w2t)
+
+
+def _fwd_taps(p0, p1, p2, w1, b1, w2t):
+    return ups_head_taps(p0, p1, p2, w1, b1, w2t), (p0, p1, p2, w1, b1, w2t)
+
+
+def _bwd_taps(res, g):
+    _, vjp = jax.vjp(_ups_head_taps_ref, *res)
+    return vjp(g)
+
+
+ups_head_taps.defvjp(_fwd_taps, _bwd_taps)
 
 
 def fits(p0, p1, p2) -> bool:

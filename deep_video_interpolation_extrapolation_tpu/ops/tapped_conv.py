@@ -87,22 +87,51 @@ def dual_conv3x3_tapped(
 
     Returns (rgb (B,H,W,Cr), seg (B,H,W,Cs)).
     """
+    cr = w_rgb.shape[-1]
+    wt = build_dual_tap_kernel(w_rgb, w_seg, h.dtype)
+    cin2 = wt.shape[0]
+    assert h.shape[-1] == cin2
+    co = wt.shape[-1] // 9
+    yt = jax.lax.conv_general_dilated(
+        h, wt.reshape(1, 1, cin2, 9 * co), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=h.dtype)
+    out = taps_shifted_add(yt, co)
+    bias = jnp.concatenate([
+        (b_rgb if b_rgb is not None else jnp.zeros((cr,))),
+        (b_seg if b_seg is not None else jnp.zeros((co - cr,))),
+    ]).astype(h.dtype)
+    out = out + bias
+    return out[..., :cr], out[..., cr:]
+
+
+def build_dual_tap_kernel(w_rgb: jnp.ndarray, w_seg: jnp.ndarray, dtype):
+    """(2Cin, 9*(Cr+Cs)) block taps-in-N matrix for both heads' 3x3s.
+
+    Rows [0:Cin] (the rgb half of the fused hidden state) feed each tap's
+    rgb columns, rows [Cin:2Cin] the seg columns; tap t's block is
+    columns [t*(Cr+Cs), (t+1)*(Cr+Cs)).
+    """
     kh, kw, cin, cr = w_rgb.shape
     _, _, cin2, cs = w_seg.shape
-    assert kh == 3 and kw == 3 and cin == cin2 and h.shape[-1] == 2 * cin
-    B, H, W, _ = h.shape
+    assert kh == 3 and kw == 3 and cin == cin2
     co = cr + cs
     wr9 = jnp.transpose(w_rgb.reshape(9, cin, cr), (1, 0, 2))  # (Cin, 9, Cr)
     ws9 = jnp.transpose(w_seg.reshape(9, cin, cs), (1, 0, 2))
-    wt = jnp.zeros((2 * cin, 9, co), h.dtype)
-    wt = wt.at[:cin, :, :cr].set(wr9.astype(h.dtype))
-    wt = wt.at[cin:, :, cr:].set(ws9.astype(h.dtype))
-    wt = wt.reshape(1, 1, 2 * cin, 9 * co)
-    yt = jax.lax.conv_general_dilated(
-        h, wt, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=h.dtype,
-    ).reshape(B, H, W, 9, co)
+    wt = jnp.zeros((2 * cin, 9, co), dtype)
+    wt = wt.at[:cin, :, :cr].set(wr9.astype(dtype))
+    wt = wt.at[cin:, :, cr:].set(ws9.astype(dtype))
+    return wt.reshape(2 * cin, 9 * co)
+
+
+def taps_shifted_add(yt: jnp.ndarray, co: int) -> jnp.ndarray:
+    """9-way shifted add over a (B, H, W, 9*co) taps-in-N tensor.
+
+    out[y, x] = sum_t yt[y + ky - 1, x + kx - 1, t] with zero-padded edges
+    (the conv's SAME zero padding); pure VPU/bandwidth work XLA fuses.
+    """
+    B, H, W, _ = yt.shape
+    yt = yt.reshape(B, H, W, 9, co)
     ytp = jnp.pad(yt, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
     out = None
     for ky in range(3):
@@ -112,9 +141,4 @@ def dual_conv3x3_tapped(
                 ytp, (0, ky, kx, t, 0),
                 (B, ky + H, kx + W, t + 1, co))[..., 0, :]
             out = sl if out is None else out + sl
-    bias = jnp.concatenate([
-        (b_rgb if b_rgb is not None else jnp.zeros((cr,))),
-        (b_seg if b_seg is not None else jnp.zeros((cs,))),
-    ]).astype(h.dtype)
-    out = out + bias
-    return out[..., :cr], out[..., cr:]
+    return out

@@ -111,3 +111,24 @@ def test_dual_conv3x3_tapped_matches_separate():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s), np.asarray(ref(h[..., 16:], ws, bs)),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_fused_ups_head_taps_matches_ref():
+    from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+        _ups_head_taps_ref,
+    )
+    from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+        _pallas_impl as impl,
+    )
+    from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+        build_dual_tap_kernel,
+    )
+    rng = np.random.RandomState(7)
+    p0, p1, p2, w1, b1 = _mk(1, 16, 32, seed=7)
+    w2r = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 448, 3)), jnp.float32)
+    w2s = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 448, 20)), jnp.float32)
+    w2t = build_dual_tap_kernel(w2r, w2s, jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    out = np.asarray(impl(p0, p1, p2, w1, b1, w2t=w2t, interpret=interpret))
+    ref = np.asarray(_ups_head_taps_ref(p0, p1, p2, w1, b1, w2t))
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
