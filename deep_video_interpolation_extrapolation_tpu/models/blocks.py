@@ -224,8 +224,27 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.packed_io:
+            import os
+
+            import jax as _jax
             f = int(self.packed_io)
             assert self.stride == 1 and x.shape[-1] == f * self.features
+            if (_jax.default_backend() == "tpu" and f == 2
+                    and os.environ.get("DVIE_FUSED_BLOCK", "0") == "1"):
+                from deep_video_interpolation_extrapolation_tpu.ops.pallas_resblock import (
+                    fused_basicblock,
+                    fused_basicblock_fits,
+                )
+                if fused_basicblock_fits(x, f):
+                    # whole block in one VMEM pass (A+E 3x3s, one read +
+                    # one write of the packed tile; ops/pallas_resblock.py)
+                    c = self.features
+                    k1, _ = Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=c)(None, return_params=True)
+                    k2, _ = Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=c)(None, return_params=True)
+                    dt = self.dtype or x.dtype
+                    return fused_basicblock(x.astype(dt), k1, k2, f)
             out = Conv(self.features, 3, 1, use_bias=False, dtype=self.dtype,
                        packed_io=f)(x)
             out = lrelu(out)
@@ -265,6 +284,33 @@ class Bottleneck(nn.Module):
         if f:
             assert self.stride == 1
         logical_in = x.shape[-1] // (f if f else 1)
+        if f == 2:
+            import os
+
+            import jax as _jax
+            if (_jax.default_backend() == "tpu"
+                    and os.environ.get("DVIE_FUSED_BLOCK", "0") == "1"):
+                from deep_video_interpolation_extrapolation_tpu.ops.pallas_resblock import (
+                    fused_bottleneck,
+                    fused_bottleneck_fits,
+                )
+                if fused_bottleneck_fits(x, f):
+                    # whole block in one VMEM pass (ops/pallas_resblock.py)
+                    k1, _ = Conv(planes, 1, padding=0, use_bias=False,
+                                 dtype=self.dtype, in_features=logical_in
+                                 )(None, return_params=True)
+                    k2, _ = Conv(planes, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=planes)(None, return_params=True)
+                    k3, _ = Conv(out_ch, 1, padding=0, use_bias=False,
+                                 dtype=self.dtype, in_features=planes
+                                 )(None, return_params=True)
+                    kres = None
+                    if logical_in != out_ch:
+                        kres, _ = Conv(out_ch, 1, padding=0, use_bias=False,
+                                       dtype=self.dtype, in_features=logical_in
+                                       )(None, return_params=True)
+                    dt = self.dtype or x.dtype
+                    return fused_bottleneck(x.astype(dt), k1, k2, k3, kres, f)
         residual = x
         out = Conv(planes, 1, 1, padding=0, use_bias=False, dtype=self.dtype,
                    packed_io=f)(x)

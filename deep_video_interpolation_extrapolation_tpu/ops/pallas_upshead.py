@@ -50,21 +50,55 @@ WT = 32   # output f4-cells per program (= 128 px)
 
 
 def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
-            *rest, th: int, wt: int):
-    if len(rest) == 2:
-        w2t_ref, out_ref = rest
+            *rest, th: int, wt: int, ni: int, nj: int, total: int):
+    if len(rest) == 5:
+        w2t_ref, out_ref, s1, s2, sems = rest
     else:
-        (out_ref,), w2t_ref = rest, None
+        out_ref, s1, s2, sems = rest
+        w2t_ref = None
+
+    # cross-program double-buffered halo DMA: program p starts p+1's
+    # copies before waiting on its own (scratch + semaphores persist
+    # across TPU grid steps).  Host-materialized windows were measured at
+    # ~14 ms/step of pure HBM overhead; plain per-program DMA waits cost
+    # ~14 ms of serialized stalls.
+    p = (pl.program_id(0) * ni + pl.program_id(1)) * nj + pl.program_id(2)
+
+    def dmas(slot, q):
+        bi = q // (ni * nj)
+        r = q % (ni * nj)
+        ti = r // nj
+        tj = r % nj
+        return (
+            pltpu.make_async_copy(
+                p1_ref.at[bi, pl.ds(ti * (th // 2), th // 2 + 2),
+                          pl.ds(tj * wt, wt + 16)],
+                s1.at[slot], sems.at[0, slot]),
+            pltpu.make_async_copy(
+                p2_ref.at[bi, pl.ds(ti * (th // 4), th // 4 + 2),
+                          pl.ds(tj * wt, wt + 16)],
+                s2.at[slot], sems.at[1, slot]),
+        )
+
+    @pl.when(p == 0)
+    def _():
+        for c in dmas(0, p):
+            c.start()
+
+    @pl.when(p + 1 < total)
+    def _():
+        for c in dmas((p + 1) % 2, p + 1):
+            c.start()
+
     dn = (((2,), (0,)), ((), ()))
     x0 = x0_ref[0]                                   # (th, 4wt, C0)
     acc = jax.lax.dot_general(x0, w1a_ref[...], dn,
                               preferred_element_type=jnp.float32)
 
-    # ---- x2 upsample of p1 (f2-packed: lanes = [phase0 C1 | phase1 C1]);
-    # the 1-halo slabs arrive pre-tiled + BlockSpec-pipelined (the host
-    # materializes overlapping windows once — manual in-kernel DMA waits
-    # serialized ~4 us/program across the 4096-program grid)
-    v1 = p1_ref[0].astype(jnp.float32)               # (th/2+2, wt+16, 2C1)
+    cp1, cp2 = dmas(p % 2, p)
+    cp1.wait()
+    # ---- x2 upsample of p1 (f2-packed: lanes = [phase0 C1 | phase1 C1])
+    v1 = s1[p % 2].astype(jnp.float32)               # (th/2+2, wt+16, 2C1)
     rows = []
     for r in range(th):
         a = r // 2 + 1
@@ -95,8 +129,9 @@ def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
     acc = acc + jax.lax.dot_general(up1, w1b_ref[...], dn,
                                     preferred_element_type=jnp.float32)
 
+    cp2.wait()
     # ---- x4 upsample of p2 (unpacked: sublane = source column)
-    v2 = p2_ref[0].astype(jnp.float32)               # (th/4+2, wt+16, C2)
+    v2 = s2[p % 2].astype(jnp.float32)               # (th/4+2, wt+16, C2)
     rows = []
     wts = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125), (0.625, 0.375))
     for r in range(th):
@@ -169,42 +204,23 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
     p1p = p1p.reshape(b, h // 2 + 2, w4 + 16, 2 * c1)
     p2p = jnp.pad(p2, ((0, 0), (1, 1), (8, 8), (0, 0)), mode="edge")
 
-    # materialize the overlapping 1-halo windows host-side so every input
-    # rides an automatically double-buffered BlockSpec (~1.5x the part
-    # bytes; the parts are 10x smaller than the output)
-    def _tiles(arr, rh):
-        def get(a, ti, tj):
-            return jax.lax.dynamic_slice(
-                a, (ti * (rh - 2), tj * wt, 0), (rh, wt + 16, arr.shape[-1]))
-        f = jax.vmap(jax.vmap(get, (None, None, 0)), (None, 0, None))
-        t = jax.vmap(lambda a: f(a, jnp.arange(ni), jnp.arange(nj)))(arr)
-        return t.reshape(b * ni * nj, rh, wt + 16, arr.shape[-1])
-
-    p1t = _tiles(p1p, th // 2 + 2)
-    p2t = _tiles(p2p, th // 4 + 2)
-
     w1 = w1.astype(dt)
     w1a, w1b, w1c = w1[:c0], w1[c0:c0 + c1], w1[c0 + c1:]
     n = w1.shape[1] if w2t is None else w2t.shape[1]
 
-    kern = functools.partial(_kernel, th=th, wt=wt)
+    kern = functools.partial(_kernel, th=th, wt=wt, ni=ni, nj=nj,
+                             total=b * ni * nj)
     in_specs = [
         pl.BlockSpec((1, th, 4 * wt, c0), lambda bi, i, j: (bi, i, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (1, th // 2 + 2, wt + 16, 2 * c1),
-            lambda bi, i, j, _ni=ni, _nj=nj: ((bi * _ni + i) * _nj + j, 0, 0, 0),
-            memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (1, th // 4 + 2, wt + 16, c2),
-            lambda bi, i, j, _ni=ni, _nj=nj: ((bi * _ni + i) * _nj + j, 0, 0, 0),
-            memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    args = [p0, p1t, p2t, w1a, w1b, w1c, b1.astype(jnp.float32)]
+    args = [p0, p1p, p2p, w1a, w1b, w1c, b1.astype(jnp.float32)]
     if w2t is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         args.append(w2t.astype(dt))
@@ -216,6 +232,11 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
             (1, th, 4 * wt, n), lambda bi, i, j: (bi, i, j, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, n), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, th // 2 + 2, wt + 16, 2 * c1), dt),
+            pltpu.VMEM((2, th // 4 + 2, wt + 16, c2), dt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         interpret=interpret,
     )(*args)
     return out
