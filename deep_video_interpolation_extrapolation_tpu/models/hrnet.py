@@ -47,6 +47,39 @@ STAGE3_CFG = dict(num_branches=3, num_blocks=(4, 4, 4), num_channels=(64, 128, 2
 STAGE4_CFG = dict(num_branches=4, num_blocks=(4, 4, 4, 4), num_channels=(64, 128, 256, 512))
 
 
+def _fuse_upsample(t: jnp.ndarray, size) -> jnp.ndarray:
+    """Fuse-layer bilinear upsample (nets/HRNet.py:219-222).
+
+    On TPU/bf16 the default is the depthwise-convT 2x/4x form: the
+    jax.image.resize lowering costs ~10.5 ms/step of layout copies around
+    its transposed dot_generals (profiled at 8x512x1024; in-model A/B
+    294.7 -> 286.7 ms/step).  DVIE_FUSE_UPS selects "resize" or "lane"
+    (elementwise phase-major lane packing; A/B'd at 317.6 — the
+    interleave reshapes relayout-copy every output) — all three are the
+    same math to bf16 rounding.
+    """
+    import os
+
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        upsample2x_convt,
+        upsample2x_lane,
+        upsample4x_convt,
+        upsample4x_lane,
+    )
+    sh, sw = size
+    h, w = t.shape[1:3]
+    mode = os.environ.get("DVIE_FUSE_UPS", "convt")
+    if (jax.default_backend() == "tpu" and t.dtype == jnp.bfloat16
+            and mode in ("convt", "lane")):
+        two, four = ((upsample2x_convt, upsample4x_convt) if mode == "convt"
+                     else (upsample2x_lane, upsample4x_lane))
+        if (sh, sw) == (2 * h, 2 * w):
+            return two(t)
+        if (sh, sw) == (4 * h, 4 * w):
+            return four(t)
+    return interpolate_bilinear(t, size=size, align_corners=False)
+
+
 class HighResolutionModule(nn.Module):
     """Parallel multi-resolution branches + full fuse (nets/HRNet.py:88-227)."""
     num_branches: int
@@ -100,9 +133,7 @@ class HighResolutionModule(nn.Module):
                         self.num_channels[i], 1, padding=0, use_bias=False,
                         dtype=self.dtype, name=f"fuse_{i}_{j}",
                     )(ys[j])
-                    t = interpolate_bilinear(
-                        t, size=ys[i].shape[1:3], align_corners=False
-                    )
+                    t = _fuse_upsample(t, ys[i].shape[1:3])
                 else:  # j < i: chain of stride-2 3x3 convs
                     t = ys[j]
                     for k in range(i - j):

@@ -68,6 +68,87 @@ def upsample2x_convt(x: jnp.ndarray) -> jnp.ndarray:
     return y[:, 1:1 + 2 * h, 1:1 + 2 * w]
 
 
+def upsample4x_convt(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 4x bilinear upsample (align_corners=False) as a depthwise
+    transposed conv, like :func:`upsample2x_convt` but stride 4 with the
+    separable [1,3,5,7,7,5,3,1]/8 kernel (out o <- in o/4 - 0.375: phase
+    weight pairs (3,5)/8, (1,7)/8, (7,1)/8, (5,3)/8); edge-padding
+    reproduces the clamped borders.  bf16 only (see upsample2x_convt).
+    """
+    b, h, w, c = x.shape
+    k = jnp.array([1.0, 3.0, 5.0, 7.0, 7.0, 5.0, 3.0, 1.0], x.dtype) / 8.0
+    kern = (k[:, None] * k[None, :])[:, :, None, None] * jnp.ones(
+        (1, 1, 1, c), x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp, kern, (1, 1), ((7, 7), (7, 7)), lhs_dilation=(4, 4),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, preferred_element_type=x.dtype)
+    return y[:, 6:6 + 4 * h, 6:6 + 4 * w]
+
+
+def _shift_edge(x, axis, d):
+    """x shifted by d (+1: value from index-1) along axis, edge-clamped."""
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+    ed = [slice(None)] * x.ndim
+    if d == 1:
+        sl[axis] = slice(0, n - 1)
+        ed[axis] = slice(0, 1)
+        return jnp.concatenate([x[tuple(ed)], x[tuple(sl)]], axis)
+    sl[axis] = slice(1, n)
+    ed[axis] = slice(n - 1, n)
+    return jnp.concatenate([x[tuple(sl)], x[tuple(ed)]], axis)
+
+
+def _upsample_axis_lane(x, axis, phases):
+    """Exact 2^k x bilinear upsample along `axis` via phase-major lane
+    packing: each output phase is an elementwise blend of whole tensors,
+    lane-concat + free logical reshape interleaves them.  No dot_generals
+    (the jax.image.resize lowering needs full-tensor layout copies around
+    its transposed dots) and no depthwise convs (which waste the MXU).
+    `phases`: list of (shift, w_lo, w_hi); out phase p = w_lo*x[shift(i)]
+    + w_hi*x[...]."""
+    parts = []
+    for d, w_lo, w_hi in phases:
+        if d == 0:
+            lo = x
+            hi = _shift_edge(x, axis, -1)
+        else:
+            lo = _shift_edge(x, axis, 1)
+            hi = x
+        p = (w_lo * lo.astype(jnp.float32)
+             + w_hi * hi.astype(jnp.float32)).astype(x.dtype)
+        parts.append(p)
+    f = len(parts)
+    if axis == x.ndim - 2:  # W: pack phases into lanes, unpack to width
+        cat = jnp.concatenate(parts, axis=-1)
+        b, h, w, c = x.shape
+        return cat.reshape(b, h, f * w, c)
+    # H: stack a new minor-of-H axis and merge
+    cat = jnp.stack(parts, axis=axis + 1)
+    sh = list(x.shape)
+    sh[axis] *= f
+    return cat.reshape(sh)
+
+
+_PHASES_2X = ((1, 0.25, 0.75), (0, 0.75, 0.25))
+_PHASES_4X = ((1, 0.375, 0.625), (1, 0.125, 0.875),
+              (0, 0.875, 0.125), (0, 0.625, 0.375))
+
+
+def upsample2x_lane(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample (align_corners=False), elementwise-only."""
+    return _upsample_axis_lane(
+        _upsample_axis_lane(x, 1, _PHASES_2X), 2, _PHASES_2X)
+
+
+def upsample4x_lane(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 4x bilinear upsample (align_corners=False), elementwise-only."""
+    return _upsample_axis_lane(
+        _upsample_axis_lane(x, 1, _PHASES_4X), 2, _PHASES_4X)
+
+
 def interpolate_bilinear(
     x: jnp.ndarray,
     size: Optional[Tuple[int, int]] = None,

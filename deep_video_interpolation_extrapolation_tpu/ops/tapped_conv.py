@@ -129,8 +129,14 @@ def taps_shifted_add(yt: jnp.ndarray, co: int) -> jnp.ndarray:
 
     out[y, x] = sum_t yt[y + ky - 1, x + kx - 1, t] with zero-padded edges
     (the conv's SAME zero padding); pure VPU/bandwidth work XLA fuses.
+    Slicing over the tap axis of the (B, H, W, 9, co) view keeps every
+    slice channel-aligned; the alternative — slicing the flat 9*co lane
+    axis at co-multiples — was A/B'd and is ~10 ms/step SLOWER in-model
+    at co=23 (per-slice lane relayouts), despite the 5-D view costing a
+    5.9 ms layout copy of the kernel output for its (16, 128) retiling.
     """
-    B, H, W, _ = yt.shape
+    B, H, W, n = yt.shape
+    assert n == 9 * co, (n, co)
     yt = yt.reshape(B, H, W, 9, co)
     ytp = jnp.pad(yt, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
     out = None

@@ -132,3 +132,19 @@ def test_fused_ups_head_taps_matches_ref():
     out = np.asarray(impl(p0, p1, p2, w1, b1, w2t=w2t, interpret=interpret))
     ref = np.asarray(_ups_head_taps_ref(p0, p1, p2, w1, b1, w2t))
     np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_upsample_variants_exact(scale):
+    """convt / lane upsamplers == interpolate_bilinear (f32, CPU-exact)."""
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        interpolate_bilinear, upsample2x_convt, upsample2x_lane,
+        upsample4x_convt, upsample4x_lane)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 5, 7, 3)), jnp.float32)
+    ref = np.asarray(interpolate_bilinear(x, scale_factor=float(scale)))
+    fns = ((upsample2x_convt, upsample2x_lane) if scale == 2
+           else (upsample4x_convt, upsample4x_lane))
+    for fn in fns:
+        np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=3e-3,
+                                   rtol=3e-3)  # conv path rounds internally
