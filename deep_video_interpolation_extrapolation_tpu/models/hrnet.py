@@ -88,13 +88,26 @@ class HighResolutionModule(nn.Module):
     multi_scale_output: bool = True
     dtype: Optional[Dtype] = None
     # branch 0's input already arrives width-packed at factor 2 (from a
-    # packed _Transition); skip the pack relayout, still unpack pre-fuse.
+    # packed _Transition or the previous stage's packed out-0).
     branch0_packed: bool = False
+    # emit out-0 in the packed layout too: the fuse sum runs packed (the
+    # 2x up-contribution via the elementwise packed upsampler, 4x via one
+    # pack relayout) so branch-0 never unpacks between stages — the
+    # unpack/re-pack retile copies cost ~3.1 ms each per stage at
+    # 8x512x1024 bf16 (trace-verified) and drag the fuse lrelu into
+    # mixed-layout select fusions.
+    keep_packed_out0: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]):
         import jax as _jax
+
+        from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+            pack_w,
+            unpack_w,
+        )
         ys = []
+        y0_packed = False
         for i in range(self.num_branches):
             h = xs[i]
             pre_packed = self.branch0_packed and i == 0
@@ -105,26 +118,30 @@ class HighResolutionModule(nn.Module):
                 self.num_channels[i] == 64 and h.shape[2] % 2 == 0
                 and h.shape[2] >= 128 and h.shape[-1] == 64
                 and _jax.default_backend() == "tpu")
-            if packable:
-                from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
-                    pack_w,
-                    unpack_w,
-                )
-                if not pre_packed:
-                    h = pack_w(h, 2)
+            if packable and not pre_packed:
+                h = pack_w(h, 2)
             for _ in range(self.num_blocks[i]):
                 h = BasicBlock(self.num_channels[i], dtype=self.dtype,
                                packed_io=2 if packable else 0)(h)
-            if packable:
-                h = unpack_w(h, 2)
+            if i == 0:
+                y0_packed = packable
+                if packable and not self.keep_packed_out0:
+                    h = unpack_w(h, 2)
+                    y0_packed = False
             ys.append(h)
         if self.num_branches == 1:
             return ys
 
+        def y0_unpacked():
+            return unpack_w(ys[0], 2) if y0_packed else ys[0]
+
+        full_size = ((ys[0].shape[1], ys[0].shape[2] * 2) if y0_packed
+                     else ys[0].shape[1:3])
         outs = []
         n_out = self.num_branches if self.multi_scale_output else 1
         for i in range(n_out):
             y = None
+            packed_sum = i == 0 and y0_packed
             for j in range(self.num_branches):
                 if j == i:
                     t = ys[j]
@@ -133,7 +150,16 @@ class HighResolutionModule(nn.Module):
                         self.num_channels[i], 1, padding=0, use_bias=False,
                         dtype=self.dtype, name=f"fuse_{i}_{j}",
                     )(ys[j])
-                    t = _fuse_upsample(t, ys[i].shape[1:3])
+                    size = full_size if i == 0 else ys[i].shape[1:3]
+                    if packed_sum and size == (2 * t.shape[1], 2 * t.shape[2]):
+                        from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+                            upsample2x_to_packed,
+                        )
+                        t = upsample2x_to_packed(t)
+                    else:
+                        t = _fuse_upsample(t, size)
+                        if packed_sum:
+                            t = pack_w(t, 2)
                 else:  # j < i: chain of stride-2 3x3 convs
                     t = ys[j]
                     for k in range(i - j):
@@ -141,7 +167,9 @@ class HighResolutionModule(nn.Module):
                         out_ch = self.num_channels[i] if last else self.num_channels[j]
                         t = Conv(
                             out_ch, 3, stride=2, use_bias=False,
-                            dtype=self.dtype, name=f"fuse_{i}_{j}_{k}",
+                            dtype=self.dtype,
+                            packed_io=2 if (j == 0 and k == 0 and y0_packed) else 0,
+                            name=f"fuse_{i}_{j}_{k}",
                         )(t)
                         if not last:
                             t = lrelu(t)
@@ -235,20 +263,36 @@ class _HRBackbone(nn.Module):
         # unpack of the 256-ch full-res tensor.
         xs = _Transition((256,), STAGE2_CFG["num_channels"], dtype=self.dtype,
                          packed_in=f, name="transition1")([x])
+        # keep_packed_out0 (branch-0 packed through the fuse sums and
+        # across stage boundaries) was A/B'd at 312 vs 287 ms/step at
+        # 8x512x1024 bf16 and stays OFF: the ~3.1 ms/stage unpack retiles
+        # it removes are cheaper than the elementwise packed upsampler +
+        # packed-sum relayouts it adds (DVIE_PACKED_STAGES=1 re-enables;
+        # parity pinned by test_packed_conv.test_keep_packed_out0_*).
+        import os
+        kp = bool(f) and os.environ.get("DVIE_PACKED_STAGES", "0") == "1"
         xs = HighResolutionModule(
             dtype=self.dtype, name="stage2", branch0_packed=bool(f),
-            **STAGE2_CFG)(xs)
+            keep_packed_out0=kp, **STAGE2_CFG)(xs)
 
         xs = _Transition(STAGE2_CFG["num_channels"], STAGE3_CFG["num_channels"],
                          dtype=self.dtype, name="transition2")(xs)
         xs = HighResolutionModule(
-            dtype=self.dtype, name="stage3", **STAGE3_CFG)(xs)
+            dtype=self.dtype, name="stage3", branch0_packed=kp,
+            keep_packed_out0=kp, **STAGE3_CFG)(xs)
 
         if self.highres_large:
             xs = _Transition(STAGE3_CFG["num_channels"], STAGE4_CFG["num_channels"],
                              dtype=self.dtype, name="transition3")(xs)
             xs = HighResolutionModule(
-                dtype=self.dtype, name="stage4", **STAGE4_CFG)(xs)
+                dtype=self.dtype, name="stage4", branch0_packed=kp,
+                keep_packed_out0=kp, **STAGE4_CFG)(xs)
+
+        if kp:
+            from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+                unpack_w,
+            )
+            xs = [unpack_w(xs[0], 2)] + list(xs[1:])
 
         if self.return_parts:
             return xs

@@ -132,6 +132,30 @@ def _upsample_axis_lane(x, axis, phases):
     return cat.reshape(sh)
 
 
+def upsample2x_to_packed(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample emitting the width-packed f=2 layout:
+    (B, Hs, Ws, C) -> (B, 2Hs, Ws, 2C) with lanes [even-col C | odd-col C].
+
+    Elementwise-only: H phases stack along a new minor-of-H axis (merging
+    it is a free reshape — the tiled minor dims are untouched), W phases
+    lane-concat WITHOUT the interleave that makes unpacked elementwise
+    upsampling expensive.  Feeds packed fuse-sums in HighResolutionModule
+    so branch-0 never leaves the packed layout between stages.
+    """
+    b, hs, ws, c = x.shape
+    xf = x.astype(jnp.float32)
+    rm1 = _shift_edge(xf, 1, 1)
+    rp1 = _shift_edge(xf, 1, -1)
+    r0 = 0.25 * rm1 + 0.75 * xf
+    r1 = 0.75 * xf + 0.25 * rp1
+    hh = jnp.stack([r0, r1], axis=2).reshape(b, 2 * hs, ws, c)
+    cm1 = _shift_edge(hh, 2, 1)
+    cp1 = _shift_edge(hh, 2, -1)
+    return jnp.concatenate(
+        [0.25 * cm1 + 0.75 * hh, 0.75 * hh + 0.25 * cp1], axis=-1
+    ).astype(x.dtype)
+
+
 _PHASES_2X = ((1, 0.25, 0.75), (0, 0.75, 0.25))
 _PHASES_4X = ((1, 0.375, 0.625), (1, 0.125, 0.875),
               (0, 0.875, 0.125), (0, 0.625, 0.375))

@@ -182,3 +182,46 @@ def test_ae_conv_gradients_match():
         unpack_w(conv3x3_packed_ae(pack_w(x, 2), kk, 2), 2) ** 2))(k)
     np.testing.assert_allclose(np.asarray(g_ae), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_keep_packed_out0_matches_unpacked():
+    """HighResolutionModule(keep_packed_out0=True) == the unpacked module
+    on the same params: packed fuse sum, elementwise packed 2x upsampler,
+    packed-consuming down-fuse convs, packed out-0."""
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import (
+        STAGE2_CFG,
+        STAGE3_CFG,
+        HighResolutionModule,
+    )
+
+    rng = np.random.RandomState(8)
+    # 2-branch (stage2 shape) and 3-branch (stage3 shape, exercises the
+    # 4x pack path and multi-hop down fuses)
+    for cfg, shapes in [
+        (STAGE2_CFG, [(1, 8, 16, 64), (1, 4, 8, 128)]),
+        (STAGE3_CFG, [(1, 8, 16, 64), (1, 4, 8, 128), (1, 2, 4, 256)]),
+    ]:
+        xs = [jnp.asarray(rng.uniform(-1, 1, s), jnp.float32) for s in shapes]
+        m0 = HighResolutionModule(dtype=jnp.float32, **cfg)
+        mp = HighResolutionModule(dtype=jnp.float32, branch0_packed=True,
+                                  keep_packed_out0=True, **cfg)
+        p = m0.init(jax.random.PRNGKey(2), xs)
+        y0 = m0.apply(p, xs)
+        yp = mp.apply(p, [pack_w(xs[0], 2)] + xs[1:])
+        np.testing.assert_allclose(np.asarray(unpack_w(yp[0], 2)),
+                                   np.asarray(y0[0]), atol=2e-4, rtol=2e-4)
+        for u, v in zip(y0[1:], yp[1:]):
+            np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                       atol=2e-4, rtol=2e-4)
+
+
+def test_upsample2x_to_packed_exact():
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        interpolate_bilinear,
+        upsample2x_to_packed,
+    )
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 5, 7, 3)), jnp.float32)
+    ref = np.asarray(interpolate_bilinear(x, scale_factor=2.0))
+    out = np.asarray(unpack_w(upsample2x_to_packed(x), 2))
+    np.testing.assert_allclose(out, ref, atol=1e-6, rtol=1e-6)
