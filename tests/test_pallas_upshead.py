@@ -148,3 +148,41 @@ def test_upsample_variants_exact(scale):
     for fn in fns:
         np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=3e-3,
                                    rtol=3e-3)  # conv path rounds internally
+
+
+def test_fused_ups_head_gradients_match_ref():
+    """custom_vjp backward (XLA-reference) == autodiff through the ref for
+    both wrappers; run in interpret mode off-TPU."""
+    from deep_video_interpolation_extrapolation_tpu.ops import pallas_upshead as m
+
+    p0, p1, p2, w1, b1 = _mk(1, 16, 32, seed=13)
+    rng = np.random.RandomState(13)
+    w2r = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 448, 3)), jnp.float32)
+    w2s = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 448, 20)), jnp.float32)
+    from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+        build_dual_tap_kernel,
+    )
+    w2t = build_dual_tap_kernel(w2r, w2s, jnp.float32)
+
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        # route the forward through interpret mode so the vjp pair runs
+        orig = m._pallas_impl
+        m_impl = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        m.__dict__["_pallas_impl"] = m_impl
+    try:
+        for fn, ref, args in [
+            (m.ups_head_1x1, m._ups_head_ref, (p0, p1, p2, w1, b1)),
+            (m.ups_head_taps, m._ups_head_taps_ref, (p0, p1, p2, w1, b1, w2t)),
+        ]:
+            def loss(f):
+                return lambda w: jnp.sum(
+                    f(args[0], args[1], args[2], w, *args[4:]).astype(jnp.float32) ** 2)
+            g1 = jax.grad(loss(fn))(w1)
+            g2 = jax.grad(loss(ref))(w1)
+            scale = float(jnp.abs(g2).max())
+            assert float(jnp.abs(g1 - g2).max()) < 2e-3 * max(scale, 1.0), (
+                float(jnp.abs(g1 - g2).max()), scale)
+    finally:
+        if interpret:
+            m.__dict__["_pallas_impl"] = orig
