@@ -50,7 +50,8 @@ WT = 32   # output f4-cells per program (= 128 px)
 
 
 def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
-            *rest, th: int, wt: int, ni: int, nj: int, total: int):
+            *rest, th: int, wt: int, ni: int, nj: int, total: int,
+            ns: int = 1):
     if len(rest) == 5:
         w2t_ref, out_ref, s1, s2, sems = rest
     else:
@@ -91,10 +92,6 @@ def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
             c.start()
 
     dn = (((2,), (0,)), ((), ()))
-    x0 = x0_ref[0]                                   # (th, 4wt, C0)
-    acc = jax.lax.dot_general(x0, w1a_ref[...], dn,
-                              preferred_element_type=jnp.float32)
-
     cp1, cp2 = dmas(p % 2, p)
     cp1.wait()
     # ---- x2 upsample of p1 (f2-packed: lanes = [phase0 C1 | phase1 C1])
@@ -119,15 +116,14 @@ def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
     c_p0 = ph0[:, 8:8 + wt]
     c_p1 = ph1[:, 8:8 + wt]
     cp1_p0 = pltpu.roll(ph0, s_cells - 1, axis=1)[:, 8:8 + wt]
+    dt = out_ref.dtype
     up1 = jnp.concatenate([
         0.25 * cm1_p1 + 0.75 * c_p0,
         0.75 * c_p0 + 0.25 * c_p1,
         0.25 * c_p0 + 0.75 * c_p1,
         0.75 * c_p1 + 0.25 * cp1_p0,
-    ], axis=-1).astype(x0.dtype)                     # (th, wt, 4C1) f4-packed
+    ], axis=-1).astype(dt)                           # (th, wt, 4C1) f4-packed
     up1 = up1.reshape(th, 4 * wt, c1)                # unpack (bitwise)
-    acc = acc + jax.lax.dot_general(up1, w1b_ref[...], dn,
-                                    preferred_element_type=jnp.float32)
 
     cp2.wait()
     # ---- x4 upsample of p2 (unpacked: sublane = source column)
@@ -150,25 +146,36 @@ def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
         0.125 * cm1 + 0.875 * cc,
         0.875 * cc + 0.125 * cp1_,
         0.625 * cc + 0.375 * cp1_,
-    ], axis=-1).astype(x0.dtype)                     # (th, wt, 4C2)
+    ], axis=-1).astype(dt)                           # (th, wt, 4C2)
     c2 = v2.shape[-1]
     up2 = up2.reshape(th, 4 * wt, c2)
-    acc = acc + jax.lax.dot_general(up2, w1c_ref[...], dn,
-                                    preferred_element_type=jnp.float32)
 
-    h = acc + b1_ref[...]
-    h = jnp.where(h >= 0, h, 0.2 * h)
-    if w2t_ref is None:
-        out_ref[0] = h.astype(out_ref.dtype)
-        return
-    # in-kernel taps-in-N matmul for both heads' 3x3s: writing the
-    # 9*(Cr+Cs)-lane tap tensor instead of the 2*C1-lane hidden state cuts
-    # the kernel's HBM output 4.3x (h never leaves VMEM); the cheap 9-way
-    # shifted add runs in XLA downstream (ops/tapped_conv.taps_shifted_add)
-    hh = h.astype(out_ref.dtype)
-    yt = jax.lax.dot_general(hh, w2t_ref[...], dn,
-                             preferred_element_type=jnp.float32)
-    out_ref[0] = yt.astype(out_ref.dtype)
+    # N-split loop (ns>1 only with the taps matmul): halving the hidden-N
+    # per pass halves the f32 accumulator footprint, buying larger tiles.
+    # Weight refs carry a leading (ns,) dim.
+    x0 = x0_ref[0]                                   # (th, 4wt, C0)
+    yt = None
+    for s_i in range(ns):
+        acc = jax.lax.dot_general(x0, w1a_ref[s_i], dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(up1, w1b_ref[s_i], dn,
+                                        preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(up2, w1c_ref[s_i], dn,
+                                        preferred_element_type=jnp.float32)
+        h = acc + b1_ref[s_i]
+        h = jnp.where(h >= 0, h, 0.2 * h)
+        if w2t_ref is None:
+            out_ref[0] = h.astype(dt)
+            return
+        # in-kernel taps-in-N matmul for both heads' 3x3s: writing the
+        # 9*(Cr+Cs)-lane tap tensor instead of the 2C-lane hidden state
+        # cuts the kernel's HBM output 4.3x (h never leaves VMEM); the
+        # 9-way shifted add runs in XLA downstream
+        # (ops/tapped_conv.taps_shifted_add)
+        y = jax.lax.dot_general(h.astype(dt), w2t_ref[s_i], dn,
+                                preferred_element_type=jnp.float32)
+        yt = y if yt is None else yt + y
+    out_ref[0] = yt.astype(dt)
 
 
 def _ups_head_ref(p0, p1, p2, w1, b1):
@@ -188,9 +195,18 @@ def _ups_head_ref(p0, p1, p2, w1, b1):
 
 
 def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
+    import os
+
     b, h, w, c0 = p0.shape
     c1, c2 = p1.shape[-1], p2.shape[-1]
-    th, wt = TH, WT
+    th, wt, ns = TH, WT, 1
+    tile_env = os.environ.get("DVIE_UPSHEAD_TILE")
+    if tile_env:
+        t_th, t_wt, t_ns = (int(v) for v in tile_env.split(","))
+        if (h % t_th == 0 and (w // 4) % t_wt == 0
+                and (t_ns == 1 or (w2t is not None
+                                   and w1.shape[1] % t_ns == 0))):
+            th, wt, ns = t_th, t_wt, t_ns
     w4 = w // 4
     while w4 % wt:
         wt //= 2
@@ -205,11 +221,21 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
     p2p = jnp.pad(p2, ((0, 0), (1, 1), (8, 8), (0, 0)), mode="edge")
 
     w1 = w1.astype(dt)
-    w1a, w1b, w1c = w1[:c0], w1[c0:c0 + c1], w1[c0 + c1:]
-    n = w1.shape[1] if w2t is None else w2t.shape[1]
+    n1 = w1.shape[1]
+    n2 = n1 // ns
+
+    def _nsplit(a):  # (rows, n1) -> (ns, rows, n2)
+        return jnp.stack([a[:, k * n2:(k + 1) * n2] for k in range(ns)])
+
+    w1a = _nsplit(w1[:c0])
+    w1b = _nsplit(w1[c0:c0 + c1])
+    w1c = _nsplit(w1[c0 + c1:])
+    b1s = jnp.stack([b1[k * n2:(k + 1) * n2] for k in range(ns)]
+                    ).astype(jnp.float32)
+    n = n2 if w2t is None else w2t.shape[1]
 
     kern = functools.partial(_kernel, th=th, wt=wt, ni=ni, nj=nj,
-                             total=b * ni * nj)
+                             total=b * ni * nj, ns=ns)
     in_specs = [
         pl.BlockSpec((1, th, 4 * wt, c0), lambda bi, i, j: (bi, i, j, 0),
                      memory_space=pltpu.VMEM),
@@ -220,10 +246,11 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    args = [p0, p1p, p2p, w1a, w1b, w1c, b1.astype(jnp.float32)]
+    args = [p0, p1p, p2p, w1a, w1b, w1c, b1s]
     if w2t is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        args.append(w2t.astype(dt))
+        w2ts = jnp.stack([w2t[k * n2:(k + 1) * n2] for k in range(ns)])
+        args.append(w2ts.astype(dt))
     out = pl.pallas_call(
         kern,
         grid=(b, ni, nj),
