@@ -108,6 +108,7 @@ class HighResolutionModule(nn.Module):
         )
         ys = []
         y0_packed = False
+        y0_packed_t = None   # packed branch-0 output kept for the down-fuses
         for i in range(self.num_branches):
             h = xs[i]
             pre_packed = self.branch0_packed and i == 0
@@ -126,14 +127,18 @@ class HighResolutionModule(nn.Module):
             if i == 0:
                 y0_packed = packable
                 if packable and not self.keep_packed_out0:
+                    # keep the packed tensor too: the j<i stride-2 fuse
+                    # convs consume it directly (packed_io), so the
+                    # unpacked copy has exactly ONE conv consumer (the
+                    # out-0 fuse sum) — with two consumers XLA materializes
+                    # a second full-res relayout copy (~3.1 ms/stage at
+                    # 8x512x1024 bf16, trace-verified)
+                    y0_packed_t = h
                     h = unpack_w(h, 2)
                     y0_packed = False
             ys.append(h)
         if self.num_branches == 1:
             return ys
-
-        def y0_unpacked():
-            return unpack_w(ys[0], 2) if y0_packed else ys[0]
 
         full_size = ((ys[0].shape[1], ys[0].shape[2] * 2) if y0_packed
                      else ys[0].shape[1:3])
@@ -165,10 +170,14 @@ class HighResolutionModule(nn.Module):
                     for k in range(i - j):
                         last = k == i - j - 1
                         out_ch = self.num_channels[i] if last else self.num_channels[j]
+                        packed_src = (j == 0 and k == 0
+                                      and (y0_packed or y0_packed_t is not None))
+                        if packed_src and y0_packed_t is not None:
+                            t = y0_packed_t
                         t = Conv(
                             out_ch, 3, stride=2, use_bias=False,
                             dtype=self.dtype,
-                            packed_io=2 if (j == 0 and k == 0 and y0_packed) else 0,
+                            packed_io=2 if packed_src else 0,
                             name=f"fuse_{i}_{j}_{k}",
                         )(t)
                         if not last:

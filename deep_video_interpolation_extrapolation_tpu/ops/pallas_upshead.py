@@ -203,7 +203,11 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
     tile_env = os.environ.get("DVIE_UPSHEAD_TILE")
     if tile_env:
         t_th, t_wt, t_ns = (int(v) for v in tile_env.split(","))
-        if (h % t_th == 0 and (w // 4) % t_wt == 0
+        # t_th must be a positive multiple of 4: tile row ti maps to p2 rows
+        # via ti*(th//4), so th<4 (th//4==0) would silently pin every halo
+        # DMA to row 0 and corrupt all tiles past the first grid row
+        if (t_th >= 4 and t_th % 4 == 0
+                and h % t_th == 0 and (w // 4) % t_wt == 0
                 and (t_ns == 1 or (w2t is not None
                                    and w1.shape[1] % t_ns == 0))):
             th, wt, ns = t_th, t_wt, t_ns

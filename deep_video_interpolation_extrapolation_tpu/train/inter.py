@@ -53,7 +53,11 @@ def _scale_str(cfg: Config, i: int) -> str:
     return str(1 / (2 ** (cfg.n_scales - i - 1)))
 
 
-def make_train_step(cfg: Config, model) -> Callable:
+def make_train_step(cfg: Config, model, with_grads: bool = False) -> Callable:
+    """``with_grads=True`` additionally returns the raw gradient tree —
+    used by the multichip dryrun's DDP-equivalence assertion (gradients,
+    unlike Adamax's sign-like first step, compare tightly across device
+    counts)."""
     def train_step(state: state_lib.TrainState, batch, rng):
         x, seg, gt_x, gt_seg = get_inter_inputs(batch)
         vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
@@ -100,6 +104,8 @@ def make_train_step(cfg: Config, model) -> Callable:
         (_, (loss_dict, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state_lib.apply_updates(cfg, state, grads, new_bs)
+        if with_grads:
+            return new_state, loss_dict, grads
         return new_state, loss_dict
 
     return train_step

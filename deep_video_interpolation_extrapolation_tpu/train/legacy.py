@@ -53,9 +53,28 @@ def _single_tx_update(params, grads, opt_state, tx):
     return optax.apply_updates(params, updates), new_opt
 
 
+def init_gan_variables(cfg: Config, model, rng, batch) -> Dict:
+    """Construct the legacy GAN head's variables the way the reference
+    constructs the module: ``nets/GAN.py:32-33`` applies the DCGAN
+    ``weights_init`` (utils/net_utils.py:31-37) to netG and netD right
+    after building them, so Flax's default init must be re-sampled here.
+    (Only this legacy head does that — InterGANNet and its discriminator
+    families use default init in the reference, so ``inter_gan.
+    init_variables`` deliberately does NOT apply it.)
+    """
+    x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+    init_key, w_key = jax.random.split(rng)
+    variables = dict(model.init(init_key, x, seg, gt_x, gt_seg, train=True))
+    variables["params"] = state_lib.gan_weights_init(
+        w_key, variables["params"])
+    return variables
+
+
 def make_gan_train_step(cfg: Config, model) -> Callable:
     """model: legacy_heads.GAN (returns fake_rgb, fake_seg, d_fake, d_real,
-    g_fake with internal stop_gradient routing)."""
+    g_fake with internal stop_gradient routing).  Init variables with
+    ``init_gan_variables`` (applies the reference's construction-time
+    DCGAN weights_init, nets/GAN.py:32-33)."""
     tx_g = state_lib.make_tx("adamax", cfg.coarse_learning_rate)
     tx_d = state_lib.make_tx("adam", cfg.frame_disc_learning_rate)
 

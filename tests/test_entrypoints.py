@@ -27,3 +27,44 @@ def test_entry_forward():
 
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_poisoned_default_backend(monkeypatch):
+    """Regression for MULTICHIP_r01 (rc=1): the driver env's default TPU
+    backend raised on every dispatch.  Simulate a broken default backend —
+    ``jax.devices()`` with no argument raises — and require the dryrun to
+    fall back to the CPU client without ever consulting the default."""
+    real_devices = jax.devices
+
+    def poisoned(backend=None):
+        if backend is None:
+            raise RuntimeError("libtpu version mismatch (poisoned)")
+        return real_devices(backend)
+
+    monkeypatch.setattr(jax, "devices", poisoned)
+    graft.dryrun_multichip(4)
+
+
+def test_dryrun_device_resolution_probes_default():
+    """A default backend that lists devices but fails on dispatch (the
+    exact r01 failure mode) must also fall back to the CPU client."""
+
+    class _FailingDevice:
+        platform = "tpu"
+
+        def __repr__(self):
+            return "PoisonedTpuDevice()"
+
+    import unittest.mock as mock
+
+    fake = [_FailingDevice() for _ in range(8)]
+    real_devices = jax.devices
+
+    def listed_but_broken(backend=None):
+        if backend is None:
+            return fake  # device_put onto these raises below
+        return real_devices(backend)
+
+    with mock.patch.object(jax, "devices", listed_but_broken):
+        devs = graft._resolve_dryrun_devices(4)
+    assert all(d.platform == "cpu" for d in devs)

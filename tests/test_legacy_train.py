@@ -37,15 +37,10 @@ def test_legacy_gan_step():
     cfg = _cfg()
     model = GAN(net_d="multi_scale_img_seg", num_d=2, dtype=jnp.float32)
     batch = _inter_batch()
-    x = jnp.concatenate([batch["frame1"], batch["frame3"]], -1)
-    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], -1)
-    variables = model.init(KEY, x, seg, batch["frame2"], batch["seg2"], train=True)
-    # the reference applies DCGAN weights_init to netG/netD at construction
-    # (nets/GAN.py:32-33)
-    from deep_video_interpolation_extrapolation_tpu.train.state import (
-        gan_weights_init,
-    )
-    params = gan_weights_init(jax.random.PRNGKey(2), variables["params"])
+    # init_gan_variables applies the reference's construction-time DCGAN
+    # weights_init to netG/netD (nets/GAN.py:32-33)
+    variables = L.init_gan_variables(cfg, model, KEY, batch)
+    params = variables["params"]
     bs = variables.get("batch_stats", {})
     opts = L.init_gan_opt_states(cfg, params)
     step = jax.jit(L.make_gan_train_step(cfg, model))
