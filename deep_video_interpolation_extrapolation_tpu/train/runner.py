@@ -326,11 +326,21 @@ class Runner:
     def cycgen(self) -> str:
         """Recursive generation + PNG tree writer (InterTrainer.py:691-856).
 
-        Interpolation doubles the frame rate between consecutive frames
-        recursively; extrapolation rolls the window forward.  Saves
+        With ``--cycgen_load_dir`` set (the reference's invocation,
+        InterTrainer.py:700), runs the reference contract:
+        ``_cycgen_reference`` reads frame trees from the load dir, rolls
+        the sliding-window ``mini_test`` forward ``num_pred_step`` times,
+        and writes the reference's
+        ``cycgen/<dataset>/<HxW>/extra_int_{interval}_len_{vid}_nearest/
+        {rgb,seg,vis_seg}/<clipdir>/NN.0.png`` layout.
+
+        Without a load dir (dataset-free/synthetic smoke path, a framework
+        addition), interpolates one midpoint per val clip and saves
         rgb/seg-id/seg-vis PNG trees under
         ``<exp>/cycgen/<dataset>/<HxW>/<split>/``.
         """
+        if self.cfg.syn_type == "inter" and self.cfg.cycgen_load_dir:
+            return self._cycgen_reference()
         from PIL import Image
         from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
             vis_seg_ids,
@@ -346,25 +356,23 @@ class Runner:
         loader = data_lib.make_loader(
             cfg.replace(split="val"), val_ds or dataset, shuffle=False)
 
-        def fwd(x, seg):
-            if self.is_gan:
-                model = _GanEvalAdapter(cfg)
-                variables = {"params": self.state.params}
-                if self.state.batch_stats:
-                    variables["batch_stats"] = self.state.batch_stats
-                self.rng, k = jax.random.split(self.rng)
-                out = model.apply(variables, x, seg, train=False,
-                                  rngs={"noise": k})
-            else:
-                variables = {"params": self.state.params}
-                if self.state.batch_stats:
-                    variables["batch_stats"] = self.state.batch_stats
-                self.rng, k = jax.random.split(self.rng)
-                out = self.model.apply(variables, x, seg, train=False,
-                                       rngs={"noise": k})
+        # the PRNG key is a jit ARGUMENT: splitting self.rng inside the
+        # traced closure would freeze one key for every clip (same VAE
+        # latent everywhere) and rebind self.rng to a leaked tracer
+        def _fwd(x, seg, key):
+            model = _GanEvalAdapter(cfg) if self.is_gan else self.model
+            variables = {"params": self.state.params}
+            if self.state.batch_stats:
+                variables["batch_stats"] = self.state.batch_stats
+            out = model.apply(variables, x, seg, train=False,
+                              rngs={"noise": key})
             return out[0], out[1]
 
-        fwd = jax.jit(fwd)
+        _fwd = jax.jit(_fwd)
+
+        def fwd(x, seg):
+            self.rng, k = jax.random.split(self.rng)
+            return _fwd(x, seg, k)
         n_clips = 0
         for batch in loader:
             imgs = [jnp.asarray(batch["frame1"]), jnp.asarray(batch["frame3"])]
@@ -411,6 +419,168 @@ class Runner:
         logger.info("cycgen: wrote %d clips under %s", n_clips, out_root)
         return out_root
 
+    def _cycgen_reference(self) -> str:
+        """The reference's inter cycgen contract (InterTrainer.py:691-783).
+
+        - Clip list: ``root_clip.pkl``'s ``val`` entries, first 61
+          (InterTrainer.py:693-695); falls back to the sorted clip
+          subdirectories of ``<load_dir>/rgb`` when the pkl is absent.
+        - Reads frames ``{NN:0>2d}.0.png`` at NN = 0 and ``interval`` from
+          ``<cycgen_load_dir>/rgb/<clipdir>/`` and seg-id PNGs from
+          ``<cycgen_load_dir>/seg/<clipdir>/`` (InterTrainer.py:700-737).
+        - Runs ``_mini_test``'s sliding-window rollout ``num_pred_step``
+          times (InterTrainer.py:786-856).
+        - Writes ``<exp>/cycgen/<dataset>/<HxW>/
+          extra_int_{interval}_len_{vid_length}_nearest/{rgb,seg,vis_seg}/
+          <clipdir>/NN.0.png`` with NN = i*interval for
+          i in range(vid_length+2) (InterTrainer.py:698-779).
+
+        Deviation (documented): the reference saves seg id tensors through
+        torchvision ``save_image``, which multiplies by 255 and clamps —
+        every id >= 1 becomes 255, so its saved seg trees are unusable by
+        its own ``seg_load``.  We write the actual uint8 id PNGs (and the
+        colormapped ``vis_seg`` the reference intends).
+        """
+        import pickle
+
+        from PIL import Image
+        from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
+            vis_seg_ids,
+        )
+        from deep_video_interpolation_extrapolation_tpu.data.datasets import (
+            data_root,
+        )
+        cfg = self.cfg
+        load_root = cfg.cycgen_load_dir
+        load_img_dir = os.path.join(load_root, "rgb")
+        load_seg_dir = os.path.join(load_root, "seg")
+
+        clip_dirs = None
+        root_clip = os.path.join(data_root(), "load_files", "root_clip.pkl")
+        if os.path.exists(root_clip):
+            with open(root_clip, "rb") as f:
+                clips = pickle.load(f)
+            # entries are rows whose [0] is the clip dir (InterTrainer.py:706)
+            clip_dirs = [row[0] if isinstance(row, (list, tuple)) else row
+                         for row in clips["val"][:61]]
+        else:
+            clip_dirs = []
+            for base, _dirs, files in os.walk(load_img_dir):
+                if any(f.endswith(".png") for f in files):
+                    clip_dirs.append(os.path.relpath(base, load_img_dir))
+            clip_dirs = sorted(clip_dirs)[:61]
+
+        split_name = (f"extra_int_{int(cfg.interval)}_len_{cfg.vid_length}"
+                      "_nearest")
+        out_root = os.path.join(
+            self.exp_dir, "cycgen", cfg.dataset,
+            f"{cfg.input_h}x{cfg.input_w}", split_name)
+        save_dirs = {k: os.path.join(out_root, k)
+                     for k in ("rgb", "seg", "vis_seg")}
+
+        first_index = 0
+        second_index = first_index + int(cfg.interval)
+
+        def load_rgb01(path):
+            arr = np.asarray(Image.open(path).convert("RGB"), np.float32)
+            return jnp.asarray(arr / 255.0)[None]
+
+        def load_seg_oh(path):
+            ids = np.asarray(Image.open(path), np.int64)
+            return jnp.asarray(np.eye(20, dtype=np.float32)[ids])[None]
+
+        n_done = 0
+        for clip_dir in clip_dirs:
+            img_files = [
+                os.path.join(load_img_dir, clip_dir, f"{i:0>2d}.0.png")
+                for i in (first_index, second_index)]
+            seg_files = [
+                os.path.join(load_seg_dir, clip_dir, f"{i:0>2d}.0.png")
+                for i in (first_index, second_index)]
+            if not all(os.path.exists(p) for p in img_files + seg_files):
+                logger.warning("cycgen: skip %s (missing input frames)",
+                               clip_dir)
+                continue
+            imgs = [load_rgb01(p) for p in img_files]
+            segs = [load_seg_oh(p) for p in seg_files]
+            pred_imgs, pred_seg_ids = self._mini_test(imgs, segs)
+
+            save_imgs = imgs + pred_imgs                   # [0,1] rgb
+            save_ids = [np.argmax(np.asarray(s[0]), -1).astype(np.uint8)
+                        for s in segs]
+            save_ids += [np.asarray(s[0]).astype(np.uint8)
+                         for s in pred_seg_ids]
+
+            n_save = cfg.vid_length + 2
+            assert len(save_imgs) >= n_save, (len(save_imgs), n_save)
+            for k in save_dirs.values():
+                os.makedirs(os.path.join(k, clip_dir), exist_ok=True)
+            for i in range(n_save):
+                name = f"{int(first_index + i * cfg.interval):0>2d}.0.png"
+                rgb8 = (np.asarray(save_imgs[i][0], np.float32) * 255.0
+                        + 0.5).clip(0, 255).astype(np.uint8)
+                Image.fromarray(rgb8).save(
+                    os.path.join(save_dirs["rgb"], clip_dir, name))
+                Image.fromarray(save_ids[i]).save(
+                    os.path.join(save_dirs["seg"], clip_dir, name))
+                vis = (vis_seg_ids(save_ids[i]) * 255).astype(np.uint8)
+                Image.fromarray(vis).save(
+                    os.path.join(save_dirs["vis_seg"], clip_dir, name))
+            n_done += 1
+        logger.info("cycgen: wrote %d clips under %s", n_done, out_root)
+        return out_root
+
+    def _mini_test(self, img_list, seg_list):
+        """Sliding-window rollout (InterTrainer.py:786-856).
+
+        img_list: two (1,H,W,3) arrays in [0,1]; seg_list: two (1,H,W,20)
+        one-hots.  Returns (pred imgs in [0,1], pred seg id arrays),
+        ``num_pred_step * num_pred_once`` of each.  Window update matches
+        the reference exactly: with ``num_pred_once == 1`` the window
+        slides by one (img1<-img2, img2<-pred); otherwise both slots take
+        the two newest predictions (InterTrainer.py:835-844).
+        """
+        cfg = self.cfg
+
+        def _fwd(x, seg, key):
+            variables = {"params": self.state.params}
+            if self.state.batch_stats:
+                variables["batch_stats"] = self.state.batch_stats
+            model = _GanEvalAdapter(cfg) if self.is_gan else self.model
+            out = model.apply(variables, x, seg, train=False,
+                              rngs={"noise": key})
+            # refine models: the reference uses the REFINED prediction
+            # (InterTrainer.py:825: ..., img = self.model(...))
+            if len(out) > 2 and isinstance(out[2], (list, tuple)):
+                return out[2][-1], out[1]
+            return out[0], out[1]
+
+        _fwd = jax.jit(_fwd)
+
+        img1, img2 = [im * 2.0 - 1.0 for im in img_list]   # [-1,1] inputs
+        seg1, seg2 = seg_list
+        pred_imgs, pred_ids = [], []
+        for _ in range(cfg.num_pred_step):
+            x = jnp.concatenate([img1, img2], axis=-1)
+            seg = jnp.concatenate([seg1, seg2], axis=-1)
+            self.rng, k = jax.random.split(self.rng)
+            img, seg_logits = _fwd(x, seg, k)
+            for j in range(cfg.num_pred_once):
+                pred_imgs.append(
+                    jnp.clip((img[..., 3 * j:3 * j + 3] + 1.0) / 2.0, 0, 1))
+                pred_ids.append(jnp.argmax(
+                    seg_logits[..., 20 * j:20 * j + 20], axis=-1))
+            if cfg.num_pred_once == 1:
+                img1, img2 = img2, pred_imgs[-1] * 2.0 - 1.0
+                seg1 = seg2
+                seg2 = jax.nn.one_hot(pred_ids[-1], 20, dtype=seg1.dtype)
+            else:
+                img1 = pred_imgs[-2] * 2.0 - 1.0
+                img2 = pred_imgs[-1] * 2.0 - 1.0
+                seg1 = jax.nn.one_hot(pred_ids[-2], 20, dtype=seg_list[0].dtype)
+                seg2 = jax.nn.one_hot(pred_ids[-1], 20, dtype=seg_list[0].dtype)
+        return pred_imgs, pred_ids
+
     def mycycgen(self, first_index: int = 25) -> str:
         """Legacy Refiner ``mycycgen`` (runners/refiner.py:835-1010): read
         frames ``{first_index}.0.png`` and ``{first_index+2}.0.png`` (plus
@@ -434,9 +604,17 @@ class Runner:
             f"{cfg.input_h}x{cfg.input_w}", "extra_wing")
         if not os.path.isdir(root):
             raise SystemExit(f"mycycgen: load tree {root!r} does not exist")
-        clip_dirs = sorted(
-            d for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d)) and d != "seg")[:61]
+        seg_root = os.path.join(root, "seg")
+        if os.path.isdir(os.path.join(root, "rgb")):
+            # a cycgen-written tree (rgb/seg/vis_seg siblings,
+            # _cycgen_reference): consume it directly
+            root = os.path.join(root, "rgb")
+        clip_dirs = []
+        for base, _dirs, files in os.walk(root):
+            if any(f.endswith(".png") for f in files):
+                clip_dirs.append(os.path.relpath(base, root))
+        clip_dirs = sorted(d for d in clip_dirs
+                           if d != "seg" and not d.startswith("seg/"))[:61]
 
         def load_rgb(path):
             arr = np.asarray(Image.open(path).convert("RGB"), np.float32)
@@ -446,20 +624,25 @@ class Runner:
             ids = np.asarray(Image.open(path), np.int32)
             return jnp.asarray(np.eye(20, dtype=np.float32)[ids])[None]
 
-        def fwd(x, seg):
+        # key passed as a jit argument (see cycgen: splitting inside the
+        # trace reuses one latent for all clips + leaks a tracer)
+        def _fwd(x, seg, key):
             variables = {"params": self.state.params}
             if self.state.batch_stats:
                 variables["batch_stats"] = self.state.batch_stats
-            self.rng, k = jax.random.split(self.rng)
             out = self.model.apply(variables, x, seg, train=False,
-                                   rngs={"noise": k})
+                                   rngs={"noise": key})
             # refined prediction when the model has a refine stage
             # (refiner.py:974: pred_img = refine_imgs[-1]); coarse otherwise
             if len(out) > 2 and isinstance(out[2], (list, tuple)):
                 return out[2][-1], out[1]
             return out[0], out[1]
 
-        fwd = jax.jit(fwd)
+        _fwd = jax.jit(_fwd)
+
+        def fwd(x, seg):
+            self.rng, k = jax.random.split(self.rng)
+            return _fwd(x, seg, k)
         i0, i2 = first_index, first_index + 2
         n_done = 0
         for clip in clip_dirs:
@@ -471,8 +654,8 @@ class Runner:
                 continue
             imgs = [load_rgb(f0), load_rgb(f2)]
             if cfg.mode == "xs2xs":
-                s0 = os.path.join(root, "seg", clip, f"{i0:0>2d}.0.png")
-                s2 = os.path.join(root, "seg", clip, f"{i2:0>2d}.0.png")
+                s0 = os.path.join(seg_root, clip, f"{i0:0>2d}.0.png")
+                s2 = os.path.join(seg_root, clip, f"{i2:0>2d}.0.png")
                 segs = [load_seg(s0), load_seg(s2)]
                 seg = jnp.concatenate(segs, axis=-1)
             else:
@@ -485,7 +668,7 @@ class Runner:
                 os.path.join(root, clip, f"{i0 + 1:0>2d}.0.png"))
             if pred_seg is not None:
                 ids = np.asarray(jnp.argmax(pred_seg[0], -1), np.uint8)
-                seg_dir = os.path.join(root, "seg", clip)
+                seg_dir = os.path.join(seg_root, clip)
                 os.makedirs(seg_dir, exist_ok=True)
                 Image.fromarray(ids).save(
                     os.path.join(seg_dir, f"{i0 + 1:0>2d}.0.png"))
