@@ -124,4 +124,5 @@ def make_loader(cfg: Config, dataset, shuffle: Optional[bool] = None):
         return dataset
     return Loader(
         dataset, cfg.batch_size, seed=cfg.seed,
-        shuffle=shuffle if shuffle is not None else (cfg.split == "train"))
+        shuffle=shuffle if shuffle is not None else (cfg.split == "train"),
+        num_workers=cfg.num_workers)

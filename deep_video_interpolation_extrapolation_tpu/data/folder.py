@@ -250,16 +250,29 @@ class TripletDataset:
 
 class Loader:
     """Epoch-seeded shuffling batcher (DistributedSampler.set_epoch
-    semantics, runners/InterTrainer.py:117-120)."""
+    semantics, runners/InterTrainer.py:117-120) with multi-worker
+    prefetching (the reference's ``DataLoader(num_workers=args.nw)``,
+    runners/InterTrainer.py:84-87).
+
+    ``num_workers > 0`` decodes/augments samples on a thread pool while a
+    producer thread assembles batches into a bounded queue (``prefetch``
+    batches deep), overlapping host data work with device compute.
+    Augmentation RNG is per-sample — seeded by (seed, epoch, position) —
+    so the worker and sequential paths produce IDENTICAL batches and
+    same-epoch iteration stays reproducible regardless of thread timing.
+    """
 
     def __init__(self, dataset: ClipDataset, batch_size: int, seed: int = 0,
-                 shuffle: bool = True, drop_last: bool = True):
+                 shuffle: bool = True, drop_last: bool = True,
+                 num_workers: int = 0, prefetch: int = 2):
         self.ds = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.epoch = 0
+        self.num_workers = int(num_workers)
+        self.prefetch = max(int(prefetch), 1)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -270,13 +283,87 @@ class Loader:
             n += 1
         return n
 
-    def __iter__(self):
+    def _sample_rng(self, pos: int) -> np.random.RandomState:
+        # decorrelate (seed, epoch, position) into a 31-bit stream id
+        return np.random.RandomState(
+            (self.seed * 1000003 + self.epoch * 9176 + pos) % (2 ** 31 - 1))
+
+    def _order(self) -> np.ndarray:
         rng = np.random.RandomState(self.seed + self.epoch)
-        order = rng.permutation(len(self.ds)) if self.shuffle else np.arange(len(self.ds))
+        return (rng.permutation(len(self.ds)) if self.shuffle
+                else np.arange(len(self.ds)))
+
+    def __iter__(self):
+        order = self._order()
         nb = len(self)
-        for bi in range(nb):
-            idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-            samples = [self.ds.sample(int(i), rng) for i in idxs]
-            yield {
-                k: np.stack([s[k] for s in samples]) for k in samples[0]
-            }
+        if self.num_workers <= 0:
+            for bi in range(nb):
+                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                samples = [
+                    self.ds.sample(int(i), self._sample_rng(
+                        bi * self.batch_size + k))
+                    for k, i in enumerate(idxs)
+                ]
+                yield {
+                    k: np.stack([s[k] for s in samples]) for k in samples[0]
+                }
+            return
+        yield from self._iter_workers(order, nb)
+
+    def _iter_workers(self, order: np.ndarray, nb: int):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce(pool):
+            try:
+                # submit up to prefetch+1 batches of sample futures ahead
+                pending = []
+                bi_next = 0
+
+                def submit(bi):
+                    idxs = order[bi * self.batch_size:
+                                 (bi + 1) * self.batch_size]
+                    return [pool.submit(
+                        self.ds.sample, int(i),
+                        self._sample_rng(bi * self.batch_size + k))
+                        for k, i in enumerate(idxs)]
+
+                while bi_next < nb and len(pending) <= self.prefetch:
+                    pending.append(submit(bi_next))
+                    bi_next += 1
+                while pending and not stop.is_set():
+                    futs = pending.pop(0)
+                    samples = [f.result() for f in futs]
+                    batch = {k: np.stack([s[k] for s in samples])
+                             for k in samples[0]}
+                    if bi_next < nb:
+                        pending.append(submit(bi_next))
+                        bi_next += 1
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            q.put(None)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            t = threading.Thread(target=produce, args=(pool,), daemon=True)
+            t.start()
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
+            finally:
+                stop.set()

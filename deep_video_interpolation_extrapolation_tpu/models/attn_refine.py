@@ -82,6 +82,9 @@ class MSResAttnRefine(nn.Module):
     win_h: int = 5
     win_w: int = 9
     dtype: Optional[Dtype] = None
+    # activations sharded over a spatial mesh axis: bypass the fused Pallas
+    # window-attention (its halo-row tiling assumes full spatial extents)
+    spatial_sharded: bool = False
 
     @nn.compact
     def __call__(self, coarse_img, coarse_seg, neighbors_img, neighbors_seg,
@@ -162,7 +165,8 @@ class MSResAttnRefine(nn.Module):
                 )
                 bh, bw_, bc = x_e2.shape[1], x_e2.shape[2], x_e2.shape[3]
                 on_tpu = jax.devices()[0].platform == "tpu"
-                if on_tpu and pallas_corr.fits_vmem(bh, bw_, bc, bc):
+                if (on_tpu and not self.spatial_sharded
+                        and pallas_corr.fits_vmem(bh, bw_, bc, bc)):
                     agg, flow4 = pallas_corr.fused_window_attention(
                         x_e2, f_w, b_w, f_e2, b_e2, self.win_h, self.win_w)
                 else:

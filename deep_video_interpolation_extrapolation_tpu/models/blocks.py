@@ -275,14 +275,36 @@ class Bottleneck(nn.Module):
     dtype: Optional[Dtype] = None
     expansion: int = 4
     packed_io: int = 0
+    # static input channel count, required only for return_params calls
+    in_features: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_params: bool = False):
         planes = self.features
         out_ch = planes * self.expansion
         f = int(self.packed_io)
         if f:
             assert self.stride == 1
+        if return_params:
+            # raw kernels for fused multi-block kernels (the layer1
+            # boundary chain, ops/pallas_chain.py); Conv auto-names match
+            # the compute path (Conv_0..Conv_3) so checkpoints interchange
+            cin = self.in_features
+            assert cin is not None
+            k1, _ = Conv(planes, 1, padding=0, use_bias=False,
+                         dtype=self.dtype, in_features=cin
+                         )(None, return_params=True)
+            k2, _ = Conv(planes, 3, use_bias=False, dtype=self.dtype,
+                         in_features=planes)(None, return_params=True)
+            k3, _ = Conv(out_ch, 1, padding=0, use_bias=False,
+                         dtype=self.dtype, in_features=planes
+                         )(None, return_params=True)
+            kres = None
+            if self.stride != 1 or cin != out_ch:
+                kres, _ = Conv(out_ch, 1, self.stride, padding=0,
+                               use_bias=False, dtype=self.dtype,
+                               in_features=cin)(None, return_params=True)
+            return k1, k2, k3, kres
         logical_in = x.shape[-1] // (f if f else 1)
         if f == 2:
             import os

@@ -232,6 +232,53 @@ class _Transition(nn.Module):
         return outs
 
 
+def _layer1_boundary_chain(x: jnp.ndarray, f: int, dtype) -> jnp.ndarray:
+    """layer1 with fused block boundaries (must be called from the owning
+    module's compact ``__call__``; Bottleneck param names are unchanged).
+
+    Per block: conv2's packed 3x3 stays on XLA (padded-FLOP-wall bound);
+    the boundary — conv3 + residual + lrelu + next block's conv1+lrelu —
+    is one Pallas pass (ops/pallas_chain.py).  Math identical to the
+    unfused blocks (f32-acc dots cast to the compute dtype, as the XLA
+    packed convs emit).
+    """
+    import functools
+
+    from deep_video_interpolation_extrapolation_tpu.ops import pallas_chain
+    from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+        pack_kernel_1x1,
+        pack_kernel_3x3,
+    )
+
+    cin0 = x.shape[-1] // f
+    blocks = []
+    for i in range(4):
+        blk = Bottleneck(64, dtype=dtype, packed_io=f,
+                         in_features=cin0 if i == 0 else 256,
+                         name=f"layer1_{i}")
+        blocks.append(blk(None, return_params=True))
+
+    dt = dtype or x.dtype
+    conv = functools.partial(
+        jax.lax.conv_general_dilated, window_strides=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dt)
+    x = x.astype(dt)
+    h1 = lrelu(conv(x, pack_kernel_1x1(blocks[0][0], f).astype(dt),
+                    padding="VALID"))
+    for i, (_k1, k2, k3, kres) in enumerate(blocks):
+        h2 = lrelu(conv(h1, pack_kernel_3x3(k2, f).astype(dt),
+                        padding="SAME"))
+        k3p = pack_kernel_1x1(k3, f)[0, 0].astype(dt)
+        kresp = (pack_kernel_1x1(kres, f)[0, 0].astype(dt)
+                 if kres is not None else None)
+        k1n = blocks[i + 1][0] if i < len(blocks) - 1 else None
+        k1np = (pack_kernel_1x1(k1n, f)[0, 0].astype(dt)
+                if k1n is not None else None)
+        x, h1 = pallas_chain.fused_boundary(h2, x, k3p, kresp, k1np)
+    return x
+
+
 class _HRBackbone(nn.Module):
     """Stem + layer1 + stage2/3(/4) + upsample-concat (shared by HRNet/VAEHRNet).
 
@@ -242,6 +289,10 @@ class _HRBackbone(nn.Module):
     highres_large: bool = False
     dtype: Optional[Dtype] = None
     return_parts: bool = False
+    # activations are sharded over a spatial mesh axis: Pallas fast paths
+    # assume full (unsharded) spatial extents, so they must be bypassed
+    # (the XLA compositions partition correctly under SPMD)
+    spatial_sharded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -260,10 +311,30 @@ class _HRBackbone(nn.Module):
         # stem (nets/HRNet.py:367-373)
         x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, name="conv1")(x))
         x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, name="conv2")(x))
-        # layer1: 4 Bottlenecks 64->256 (nets/HRNet.py:375)
-        for i in range(4):
-            x = Bottleneck(64, dtype=self.dtype, packed_io=f,
-                           name=f"layer1_{i}")(x)
+        # layer1: 4 Bottlenecks 64->256 (nets/HRNet.py:375).
+        # DVIE_CHAIN_BOUNDARY=1 fuses the block BOUNDARIES (conv3 1x1 +
+        # residual + lrelu + next conv1 1x1) into one Pallas pass
+        # (ops/pallas_chain.py).  A/B'd at 8x512x1024 bf16 and OFF by
+        # default: 28.66 -> 27.78 fps (rows=512) / 27.86 (rows=2048) —
+        # the streamed-traffic saving is eaten by relayout copies at the
+        # kernel's IO (Pallas is row-major {3,2,1,0}; the surrounding
+        # packed 3x3 convs run {3,0,2,1}).  Parity pinned by
+        # test_pallas_chain either way.
+        import os
+        use_chain = False
+        if (f == 2 and jax.default_backend() == "tpu"
+                and not self.spatial_sharded
+                and os.environ.get("DVIE_CHAIN_BOUNDARY", "0") == "1"):
+            from deep_video_interpolation_extrapolation_tpu.ops import (
+                pallas_chain,
+            )
+            use_chain = pallas_chain.boundary_fits(x)
+        if use_chain:
+            x = _layer1_boundary_chain(x, f, self.dtype)
+        else:
+            for i in range(4):
+                x = Bottleneck(64, dtype=self.dtype, packed_io=f,
+                               name=f"layer1_{i}")(x)
 
         # transition1 consumes the packed layer1 output directly: trans_0's
         # 3x3 stays packed (feeding stage2's branch-0 chain with no
@@ -354,7 +425,9 @@ class _Head(nn.Module):
 
 
 def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
-                 highres_large: bool, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 highres_large: bool, dtype,
+                 spatial_sharded: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backbone tail + both heads, fused on TPU when shapes allow.
 
     Must be called from within the owning module's compact ``__call__``
@@ -374,6 +447,7 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
     seg_head = _Head(seg_dim, cin, dtype=dtype, name="seg_layer")
 
     use_fused = (jax.default_backend() == "tpu" and not highres_large
+                 and not spatial_sharded
                  and os.environ.get("DVIE_FUSED_HEAD", "1") != "0")
     if use_fused:
         parts = run_backbone(True)
@@ -465,6 +539,9 @@ class HRNet(nn.Module):
     inpaint_mask: bool = False
     highres_large: bool = False
     dtype: Optional[Dtype] = None
+    # set when activations are sharded over a spatial mesh axis — bypasses
+    # the Pallas fast paths, whose halo/tile logic assumes full extents
+    spatial_sharded: bool = False
 
     def setup(self):
         # setup-defined so composites can reuse it directly
@@ -483,8 +560,11 @@ class HRNet(nn.Module):
             seg_dim = 20
         rgb_out, seg_out = _apply_heads(
             lambda parts: _HRBackbone(self.highres_large, dtype=self.dtype,
-                                      return_parts=parts, name="backbone")(x),
-            rgb_dim, seg_dim, self.highres_large, self.dtype)
+                                      return_parts=parts,
+                                      spatial_sharded=self.spatial_sharded,
+                                      name="backbone")(x),
+            rgb_dim, seg_dim, self.highres_large, self.dtype,
+            spatial_sharded=self.spatial_sharded)
 
         mask_out = None
         if self.syn_type == "extra" and self.inpaint and self.inpaint_mask:
@@ -561,6 +641,7 @@ class VAEHRNet(nn.Module):
     inpaint_mask: bool = False
     highres_large: bool = False
     dtype: Optional[Dtype] = None
+    spatial_sharded: bool = False
 
     def setup(self):
         self.seg_encoder = SegEncoder(dtype=self.dtype)
@@ -598,8 +679,11 @@ class VAEHRNet(nn.Module):
             seg_dim = 20
         rgb_out, seg_out = _apply_heads(
             lambda parts: _HRBackbone(self.highres_large, dtype=self.dtype,
-                                      return_parts=parts, name="backbone")(x),
-            rgb_dim, seg_dim, self.highres_large, self.dtype)
+                                      return_parts=parts,
+                                      spatial_sharded=self.spatial_sharded,
+                                      name="backbone")(x),
+            rgb_dim, seg_dim, self.highres_large, self.dtype,
+            spatial_sharded=self.spatial_sharded)
         if self.syn_type == "extra":
             rgb_out = rgb_out[..., :3 * self.num_pred_once]
         return rgb_out, seg_out, mu, logvar

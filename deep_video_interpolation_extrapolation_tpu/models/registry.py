@@ -26,6 +26,10 @@ def build_coarse(cfg: Config, name: Optional[str] = "coarse_model"):
             inpaint_mask=cfg.inpaint_mask,
             highres_large=cfg.highres_large,
             dtype=d,
+            # Pallas fast paths assume unsharded spatial extents; under a
+            # spatial mesh the XLA compositions (which SPMD-partition
+            # correctly) are used instead
+            spatial_sharded=cfg.num_spatial_shards > 1,
         )
         cls = {"HRNet": HRNet, "VAEHRNet": VAEHRNet}[cfg.coarse_model]
         return cls(**kw)
@@ -71,7 +75,8 @@ def build_stage3(cfg: Config):
     d = compute_dtype(cfg)
     if cfg.stage3_model == "MSResAttnRefine":
         return ar.MSResAttnRefine(
-            n_scales=cfg.n_scales, stage3_prop=cfg.stage3_prop, dtype=d)
+            n_scales=cfg.n_scales, stage3_prop=cfg.stage3_prop, dtype=d,
+            spatial_sharded=cfg.num_spatial_shards > 1)
     if cfg.stage3_model == "MSResAttnRefineV2":
         return ar.MSResAttnRefineV2(stage3_prop=cfg.stage3_prop, dtype=d)
     if cfg.stage3_model == "MSResAttnRefineV2Base":

@@ -231,6 +231,25 @@ class Runner:
         ])
         self.writer.add_image("train/in_pred_gt", row, step)
 
+    def _device_prefetch(self, loader, depth: int = 2):
+        """Shard/upload ``depth`` batches ahead of consumption
+        (``device_put`` is async, so uploads overlap the running step)."""
+        import collections
+        buf = collections.deque()
+        it = iter(loader)
+        try:
+            while len(buf) < depth:
+                buf.append(self._shard(next(it)))
+        except StopIteration:
+            pass
+        while buf:
+            out = buf.popleft()
+            try:
+                buf.append(self._shard(next(it)))
+            except StopIteration:
+                pass
+            yield out
+
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
         dataset, _ = data_lib.get_dataset(cfg, vid_len=self.vid_len)
@@ -242,26 +261,32 @@ class Runner:
         load_t = comp_t = 0.0
         t0 = time.time()
         last: Dict[str, float] = {}
+        pending = []   # device-side loss dicts; read back at disp_interval
         profile_dir = os.environ.get("DVIE_PROFILE_DIR")
-        for i, batch in enumerate(loader):
+        for i, batch in enumerate(self._device_prefetch(loader)):
             if profile_dir and i == 2:
                 jax.profiler.start_trace(profile_dir)
-            batch = self._shard(batch)
             load_t += time.time() - t0
             t0 = time.time()
             self.rng, step_key = jax.random.split(self.rng)
             self.state, losses = self.train_step(self.state, batch, step_key)
-            losses = {k: float(v) for k, v in losses.items()}
+            # keep losses on-device: a synchronous float() readback per
+            # step costs ~30 ms through this rig's relay (and a device
+            # sync anywhere) — materialize only at disp_interval
+            pending.append(losses)
             comp_t += time.time() - t0
-            bank.update(losses)
-            last = losses
             if profile_dir and i == 6:
                 jax.profiler.stop_trace()
                 profile_dir = None
             if i % cfg.disp_interval == 0:
+                for d in pending:
+                    last = {k: float(v) for k, v in d.items()}
+                    bank.update(last)
+                pending = []
+                comp_t += time.time() - t0  # the readback fences the device
                 logger.info(
                     "[epoch %2d][iter %4d] loss: %.4f, load: %.3fs, comp: %.3fs",
-                    self.epoch, i, losses["loss_all"], load_t, comp_t)
+                    self.epoch, i, last["loss_all"], load_t, comp_t)
                 load_t = comp_t = 0.0
                 if self.writer:
                     step = self.epoch * len(loader) + i
@@ -271,6 +296,9 @@ class Runner:
                     and cfg.dataset != "synthetic"):
                 self._log_images(batch, self.epoch * len(loader) + i)
             t0 = time.time()
+        for d in pending:
+            last = {k: float(v) for k, v in d.items()}
+            bank.update(last)
         return last
 
     def train_epochs(self) -> None:

@@ -96,6 +96,82 @@ class TestClipDataset:
         assert not all(np.array_equal(x, y) for x, y in zip(a, c))
 
 
+class TestWorkerLoader:
+    def test_workers_match_sequential(self, tmp_path):
+        """num_workers > 0 yields bit-identical batches to the sequential
+        path (per-sample RNG seeding is thread-timing independent)."""
+        img_dir, seg_dir, clips = _make_cityscape_tree(tmp_path, n_clips=4)
+        cfg = _cfg(split="train")
+        ds = ClipDataset(cfg, clips, split="train", img_dir=img_dir,
+                         seg_dir=seg_dir)
+        seq = Loader(ds, batch_size=2, seed=3, num_workers=0)
+        par = Loader(ds, batch_size=2, seed=3, num_workers=4)
+        seq.set_epoch(2)
+        par.set_epoch(2)
+        a = list(seq)
+        b = list(par)
+        assert len(a) == len(b) == len(seq)
+        for x, y in zip(a, b):
+            assert sorted(x) == sorted(y)
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k])
+
+    def test_workers_overlap_decode(self):
+        """With a slow sample() the worker loader overlaps decode work
+        (the reference's DataLoader(num_workers=args.nw) purpose,
+        InterTrainer.py:84-87): 4 workers on a 50 ms/sample dataset beat
+        the sequential loader by >2x."""
+        import time as _time
+
+        class SlowDS:
+            def __len__(self):
+                return 16
+
+            def sample(self, i, rng):
+                _time.sleep(0.05)
+                return {"x": np.full((4,), i, np.float32)}
+
+        seq = Loader(SlowDS(), batch_size=4, num_workers=0, shuffle=False)
+        par = Loader(SlowDS(), batch_size=4, num_workers=4, shuffle=False)
+        t0 = _time.time()
+        a = list(seq)
+        t_seq = _time.time() - t0
+        t0 = _time.time()
+        b = list(par)
+        t_par = _time.time() - t0
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x["x"], y["x"])
+        assert t_par < t_seq / 2, (t_par, t_seq)
+
+    def test_worker_loader_propagates_errors(self):
+        class BadDS:
+            def __len__(self):
+                return 8
+
+            def sample(self, i, rng):
+                if i == 5:
+                    raise ValueError("boom")
+                return {"x": np.zeros((2,), np.float32)}
+
+        par = Loader(BadDS(), batch_size=2, num_workers=2, shuffle=False)
+        with pytest.raises(ValueError, match="boom"):
+            list(par)
+
+    def test_worker_loader_early_abandon(self):
+        """Dropping the iterator mid-epoch must not deadlock the producer."""
+        class DS:
+            def __len__(self):
+                return 64
+
+            def sample(self, i, rng):
+                return {"x": np.zeros((2,), np.float32)}
+
+        par = Loader(DS(), batch_size=2, num_workers=2, shuffle=False)
+        it = iter(par)
+        next(it)
+        it.close()  # triggers the finally/stop path
+
+
 class TestTripletDatasets:
     def test_vimeo_layout(self, tmp_path):
         seq = tmp_path / "sequences" / "00001" / "0266"

@@ -72,3 +72,46 @@ def test_spatial_sharding_executes():
         return jnp.mean(v ** 2)
 
     assert np.isfinite(float(f(xs)))
+
+
+def test_full_model_1d_vs_2d_mesh_forward():
+    """InterNet/HRNet forward on a (8,1) data-only mesh == a (4,2)
+    data x spatial mesh (H sharded) == unsharded — the guarantee that the
+    spatial-sharding path (which bypasses the Pallas fast paths via
+    spatial_sharded, models/registry.py) changes layout, never numbers."""
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+
+    h, w, b = 32, 64, 8
+    outs = {}
+    for name, (nd, ns) in {"1d": (8, 1), "2d": (4, 2)}.items():
+        cfg = Config(
+            runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
+            train_coarse=True, coarse_model="HRNet", compute_dtype="float32",
+            input_h=h, input_w=w, batch_size=b, dataset="synthetic",
+            num_data_shards=nd, num_spatial_shards=ns)
+        mesh = create_mesh(nd, ns)
+        model = registry.build_model(cfg)
+        rng = np.random.RandomState(0)
+        rgb = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 6)), jnp.float32)
+        seg = jnp.asarray(
+            np.eye(20, dtype=np.float32)[rng.randint(0, 20, (b, h, w, 2))]
+            .reshape(b, h, w, 40))
+        variables = jax.jit(model.init, static_argnames=["train"])(
+            jax.random.PRNGKey(0), rgb, seg, train=False)
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+        sh = NamedSharding(
+            mesh, P(DATA_AXIS, SPATIAL_AXIS if ns > 1 else None))
+        rgb_s = jax.device_put(rgb, sh)
+        seg_s = jax.device_put(seg, sh)
+
+        @jax.jit
+        def fwd(v, r, s):
+            return model.apply(v, r, s, train=False)
+
+        o_rgb, o_seg = fwd(variables, rgb_s, seg_s)
+        outs[name] = (np.asarray(o_rgb), np.asarray(o_seg))
+    np.testing.assert_allclose(outs["1d"][0], outs["2d"][0],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs["1d"][1], outs["2d"][1],
+                               atol=1e-5, rtol=1e-5)
