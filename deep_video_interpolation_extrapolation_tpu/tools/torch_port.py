@@ -17,7 +17,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -193,21 +193,259 @@ def port_ms_res_attn_refine(sd: Mapping, params: Dict) -> Dict:
     return p
 
 
-def port_reference_checkpoint(ckpt: Mapping, states: Dict[str, Dict]) -> Dict:
+def _bn(sd: Mapping, prefix: str, dst_params: Dict, dst_stats: Dict) -> None:
+    """torch BatchNorm2d -> flax BatchNorm (scale/bias params,
+    running mean/var batch_stats)."""
+    dst_params["scale"] = vec(sd, prefix + ".weight")
+    dst_params["bias"] = vec(sd, prefix + ".bias")
+    dst_stats["mean"] = vec(sd, prefix + ".running_mean")
+    dst_stats["var"] = vec(sd, prefix + ".running_var")
+
+
+def _latent_perm(zh: int, zw: int, c: int = 16) -> np.ndarray:
+    """our-flat-index -> torch-flat-index for the VAE latent.
+
+    torch flattens (C, zh, zw) channel-major (nets/HRNet.py:974,981); we
+    flatten (zh, zw, C).  Element (y, x, ch) of the returned table holds
+    the torch index ch*zh*zw + y*zw + x.
+    """
+    return np.transpose(
+        np.arange(c * zh * zw).reshape(c, zh, zw), (1, 2, 0)).reshape(-1)
+
+
+def port_vaehrnet(sd: Mapping, params: Dict, batch_stats: Dict,
+                  zh: int = 8, zw: int = 8):
+    """Map a reference VAEHRNet state_dict (nets/HRNet.py:702-1061) onto
+    our VAEHRNet params + batch_stats (verified:
+    tests/test_vaehrnet_parity.py).
+
+    The HRNet portion shares the plain HRNet naming (port_hrnet).  The
+    VAE encoder/decoder carry BatchNorms (running stats -> batch_stats),
+    and the mu/logvar Linears need the latent flatten permutation: torch
+    flattens the (16, 8, 8) code channel-major, we flatten (8, 8, 16).
+    ``zh``/``zw`` are the latent spatial dims (the reference hard-codes
+    8x8 = 128x128 inputs, nets/HRNet.py:762-763).
+    """
+    p = port_hrnet(sd, params)
+    bs = jax.tree_util.tree_map(lambda x: x, batch_stats)
+
+    # vae_encoder: Sequential conv/BN indices (nets/HRNet.py:722-761)
+    enc = p["vae_encoder"]
+    enc_bs = bs.setdefault("vae_encoder", {})
+    for k, t in enumerate((0, 2, 5, 8, 11, 14, 17, 20, 23, 26, 29, 32)):
+        enc[f"Conv_{k}"]["kernel"] = conv_w(sd, f"vae_encoder.{t}.weight")
+        enc[f"Conv_{k}"]["bias"] = vec(sd, f"vae_encoder.{t}.bias")
+    for k, t in enumerate((3, 6, 9, 12, 15, 18, 21, 24, 27, 30)):
+        _bn(sd, f"vae_encoder.{t}", enc[f"BatchNorm_{k}"],
+            enc_bs.setdefault(f"BatchNorm_{k}", {}))
+
+    # vae_decoder: convT at 0/6/12/18, conv at 3/9/15/21, BN at
+    # 1/4/7/10/13/16/19 (nets/HRNet.py:764-791)
+    dec = p["vae_decoder"]
+    dec_bs = bs.setdefault("vae_decoder", {})
+    for k, t in enumerate((0, 6, 12, 18)):
+        ct = dec[f"ConvT_{k}"]["ConvTranspose_0"]
+        ct["kernel"] = convT_w(sd, f"vae_decoder.{t}.weight")
+        ct["bias"] = vec(sd, f"vae_decoder.{t}.bias")
+    for k, t in enumerate((3, 9, 15, 21)):
+        dec[f"Conv_{k}"]["kernel"] = conv_w(sd, f"vae_decoder.{t}.weight")
+        dec[f"Conv_{k}"]["bias"] = vec(sd, f"vae_decoder.{t}.bias")
+    for k, t in enumerate((1, 4, 7, 10, 13, 16, 19)):
+        _bn(sd, f"vae_decoder.{t}", dec[f"BatchNorm_{k}"],
+            dec_bs.setdefault(f"BatchNorm_{k}", {}))
+
+    # mu/logvar Linears with the flatten permutation on BOTH ends:
+    # out = W[o_t, i_t] -> kernel[i_our, o_our] = W[perm[o_our], perm[i_our]]
+    perm = _latent_perm(zh, zw)
+    for name in ("mu_fc", "logvar_fc"):
+        w = np.asarray(sd[f"{name}.weight"])        # (out_t, in_t)
+        b = np.asarray(sd[f"{name}.bias"])
+        p[name]["kernel"] = jnp.asarray(w[np.ix_(perm, perm)].T)
+        p[name]["bias"] = jnp.asarray(b[perm])
+    return p, bs
+
+
+def port_track_gen(sd: Mapping, params: Dict) -> Dict:
+    """Map a reference TrackGen / TrackGenV2 state_dict (nets/TrackGen.py:
+    8-434; both share submodule names) onto our params (verified:
+    tests/test_disc_parity.py::test_trackgen_unet_parity)."""
+    p = jax.tree_util.tree_map(lambda x: x, params)
+    unet = p["unet"]
+
+    def conv_into(dst, tname):
+        dst["kernel"] = conv_w(sd, tname + ".weight")
+        dst["bias"] = vec(sd, tname + ".bias")
+
+    for grp in ("encoder_1", "encoder_2", "encoder_3", "encoder_4",
+                "bottom_layer", "decoder_4", "decoder_3", "decoder_2"):
+        for k, t in enumerate((0, 2, 4)):
+            conv_into(unet[f"{grp}_{k}"]["Conv_0"], f"{grp}.{t}")
+    for k, t in enumerate((0, 2, 4)):
+        dst = unet[f"decoder_1_{k}"]
+        # V1's trailing conv is a ConvLReLU; V2's is a bare linear Conv
+        conv_into(dst["Conv_0"] if "Conv_0" in dst else dst,
+                  f"decoder_1.{t}")
+    for up in ("up_4", "up_3", "up_2", "up_1"):
+        ct = unet[up]["ConvTranspose_0"]
+        ct["kernel"] = convT_w(sd, f"{up}.0.weight")
+        ct["bias"] = vec(sd, f"{up}.0.bias")
+
+    head = p["head"]
+    conv_into(head["ConvLReLU_0"]["Conv_0"], "track_fusion_layer.0")
+    conv_into(head["ConvLReLU_1"]["Conv_0"], "track_fusion_layer.2")
+    conv_into(head["Conv_0"], "track_fusion_layer.4")
+    for k, t in enumerate((0, 2, 4, 6, 8)):
+        conv_into(head[f"ConvLReLU_{2 + k}"]["Conv_0"], f"fusion_layer.{t}")
+    for stem in ("rgb_out", "seg_out"):
+        conv_into(head[f"{stem}_0"]["Conv_0"], f"{stem}_layer.0")
+        conv_into(head[f"{stem}_1"], f"{stem}_layer.2")
+    return p
+
+
+# --------------------------------------------------------------------------
+# Discriminator families (reference nets/FrameDisc.py, nets/VidDisc.py).
+# Each spec row maps our auto-named submodule to the torch Sequential index:
+#   ("blk",  "_Block_k",    conv_idx, bn_idx|None)
+#   ("res",  "_ResBlock_k", res_idx)            # ResnetBlock conv.0/conv.2
+#   ("conv", "Conv_0",      conv_idx)           # bare top-level conv
+_FRAME_DISC_SPEC = (
+    ("blk", "_Block_0", 0, None), ("blk", "_Block_1", 2, 3),
+    ("blk", "_Block_2", 5, None), ("res", "_ResBlock_0", 7),
+    ("blk", "_Block_3", 8, None), ("res", "_ResBlock_1", 10),
+    ("blk", "_Block_4", 11, None), ("res", "_ResBlock_2", 13),
+    ("blk", "_Block_5", 14, None), ("res", "_ResBlock_3", 16),
+    ("blk", "_Block_6", 17, None),
+)
+_FRAME_LOCAL_DISC_SPEC = (
+    ("blk", "_Block_0", 0, None), ("blk", "_Block_1", 2, 3),
+    ("blk", "_Block_2", 5, 6), ("blk", "_Block_3", 8, 9),
+    ("blk", "_Block_4", 11, 12), ("blk", "_Block_5", 14, 15),
+    ("blk", "_Block_6", 17, 18), ("conv", "Conv_0", 20),
+)
+_VIDEO_DISC_SPEC = (
+    ("blk", "_Block_0", 0, None), ("blk", "_Block_1", 2, 3),
+    ("blk", "_Block_2", 5, 6),
+    ("blk", "_Block_3", 8, None), ("res", "_ResBlock_0", 10),
+    ("blk", "_Block_4", 11, None), ("res", "_ResBlock_1", 13),
+    ("blk", "_Block_5", 14, None), ("res", "_ResBlock_2", 16),
+    ("blk", "_Block_6", 17, None), ("res", "_ResBlock_3", 19),
+    ("blk", "_Block_7", 20, None),
+)
+_VIDEO_LOCAL_DISC_SPEC = (
+    ("blk", "_Block_0", 0, None), ("blk", "_Block_1", 2, 3),
+    ("blk", "_Block_2", 5, 6), ("blk", "_Block_3", 8, 9),
+    ("blk", "_Block_4", 11, 12), ("blk", "_Block_5", 14, 15),
+    ("blk", "_Block_6", 17, 18), ("blk", "_Block_7", 20, 21),
+    ("blk", "_Block_8", 23, 24), ("blk", "_Block_9", 26, 27),
+    ("blk", "_Block_10", 29, 30), ("blk", "_Block_11", 32, 33),
+    ("conv", "Conv_0", 35),
+)
+
+
+def _port_disc(sd: Mapping, params: Dict, batch_stats: Dict, spec):
+    p = jax.tree_util.tree_map(lambda x: x, params)
+    bs = jax.tree_util.tree_map(lambda x: x, batch_stats)
+    for row in spec:
+        if row[0] == "blk":
+            _, ours, ci, bi = row
+            p[ours]["Conv_0"]["kernel"] = conv_w(sd, f"layer.{ci}.weight")
+            p[ours]["Conv_0"]["bias"] = vec(sd, f"layer.{ci}.bias")
+            if bi is not None:
+                _bn(sd, f"layer.{bi}", p[ours]["BatchNorm_0"],
+                    bs.setdefault(ours, {}).setdefault("BatchNorm_0", {}))
+        elif row[0] == "res":
+            _, ours, ri = row
+            for k, t in (("_Block_0", 0), ("_Block_1", 2)):
+                p[ours][k]["Conv_0"]["kernel"] = conv_w(
+                    sd, f"layer.{ri}.conv.{t}.weight")
+                p[ours][k]["Conv_0"]["bias"] = vec(
+                    sd, f"layer.{ri}.conv.{t}.bias")
+        else:
+            _, ours, ci = row
+            p[ours]["kernel"] = conv_w(sd, f"layer.{ci}.weight")
+            p[ours]["bias"] = vec(sd, f"layer.{ci}.bias")
+    return p, bs
+
+
+def port_frame_disc(sd, params, batch_stats):
+    """FrameDiscriminator (nets/FrameDisc.py:35-75);
+    verified: tests/test_disc_parity.py."""
+    return _port_disc(sd, params, batch_stats, _FRAME_DISC_SPEC)
+
+
+def port_frame_local_disc(sd, params, batch_stats):
+    """FrameLocalDiscriminator (nets/FrameDisc.py:77-114)."""
+    return _port_disc(sd, params, batch_stats, _FRAME_LOCAL_DISC_SPEC)
+
+
+def port_video_disc(sd, params, batch_stats):
+    """VideoDiscriminator (nets/VidDisc.py:34-84)."""
+    return _port_disc(sd, params, batch_stats, _VIDEO_DISC_SPEC)
+
+
+def port_video_local_disc(sd, params, batch_stats):
+    """VideoLocalDiscriminator (nets/VidDisc.py:87-138)."""
+    return _port_disc(sd, params, batch_stats, _VIDEO_LOCAL_DISC_SPEC)
+
+
+def _detect_disc_porter(sd: Mapping):
+    """Pick the porter for a frame/video discriminator state_dict by its
+    key signature (the checkpoint stores no model name)."""
+    if "layer.35.weight" in sd:
+        return port_video_local_disc
+    if "layer.19.conv.0.weight" in sd:
+        return port_video_disc
+    if "layer.20.weight" in sd:
+        return port_frame_local_disc
+    if "layer.16.conv.0.weight" in sd:
+        return port_frame_disc
+    raise KeyError(
+        "unrecognized discriminator state_dict (supported: Frame/Video "
+        "Discriminator + Local variants); keys: "
+        + ", ".join(sorted(sd)[:8]))
+
+
+def port_reference_checkpoint(ckpt: Mapping, states: Dict[str, Dict],
+                              batch_stats: Optional[Dict] = None):
     """Convert a full reference checkpoint dict.
 
-    ``ckpt``: the torch.load result ({'coarse_model': state_dict, ...}).
-    ``states``: our per-submodel param trees to fill.
-    Returns the updated trees (unknown submodels are left untouched).
+    ``ckpt``: the torch.load result ({'coarse_model': state_dict, ...},
+    runners/InterTrainer.py:867-886 or InterGANTrainer.py:910-938).
+    ``states``: our per-submodel param trees to fill; ``batch_stats``: our
+    per-submodel batch_stats trees (BatchNorm running stats live there).
+    Returns ``(params, batch_stats)`` — unknown submodels are untouched.
+    Backward compatibility: when ``batch_stats`` is None, returns params
+    only (the pre-GAN call shape).
     """
-    porters = {
-        "coarse_model": port_hrnet,
-        "refine_model": port_srn_refine,
-        "stage3_model": port_ms_res_attn_refine,
-    }
+    legacy_shape = batch_stats is None
+    bs_states: Dict = dict(batch_stats or {})
     out = dict(states)
-    for name, porter in porters.items():
+
+    def sd_of(name):
+        return {k: np.asarray(v) for k, v in ckpt[name].items()}
+
+    if "coarse_model" in ckpt and "coarse_model" in states:
+        sd = sd_of("coarse_model")
+        if "vae_encoder.0.weight" in sd:
+            out["coarse_model"], bs_states["coarse_model"] = port_vaehrnet(
+                sd, states["coarse_model"],
+                bs_states.get("coarse_model", {}))
+        else:
+            out["coarse_model"] = port_hrnet(sd, states["coarse_model"])
+    for name, porter in (("refine_model", port_srn_refine),
+                         ("stage3_model", port_ms_res_attn_refine)):
         if name in ckpt and name in states:
-            sd = {k: np.asarray(v) for k, v in ckpt[name].items()}
-            out[name] = porter(sd, states[name])
-    return out
+            out[name] = porter(sd_of(name), states[name])
+    if "track_gen_model" in ckpt and "track_gen_model" in states:
+        out["track_gen_model"] = port_track_gen(
+            sd_of("track_gen_model"), states["track_gen_model"])
+    for name in ("frame_disc_model", "frame_det_disc_model",
+                 "video_disc_model", "video_det_disc_model"):
+        if name in ckpt and name in states:
+            sd = sd_of(name)
+            porter = _detect_disc_porter(sd)
+            out[name], bs_states[name] = porter(
+                sd, states[name], bs_states.get(name, {}))
+    if legacy_shape:
+        return out
+    return out, bs_states

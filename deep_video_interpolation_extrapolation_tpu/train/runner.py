@@ -136,8 +136,11 @@ class Runner:
             )
             ckpt = torch.load(cfg.torch_ckpt, map_location="cpu",
                               weights_only=False)
-            new_params = port_reference_checkpoint(ckpt, dict(self.state.params))
-            self.state = self.state.replace(params=new_params)
+            new_params, new_bs = port_reference_checkpoint(
+                ckpt, dict(self.state.params),
+                dict(self.state.batch_stats or {}))
+            self.state = self.state.replace(params=new_params,
+                                            batch_stats=new_bs)
             logger.info("ported torch checkpoint %s (submodels: %s)",
                         cfg.torch_ckpt,
                         [k for k in new_params if k in ckpt])
