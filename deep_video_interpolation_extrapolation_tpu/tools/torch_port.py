@@ -265,6 +265,76 @@ def port_vaehrnet(sd: Mapping, params: Dict, batch_stats: Dict,
     return p, bs
 
 
+def port_pyramid_attn(sd: Mapping, params: Dict, variant: str = "v2") -> Dict:
+    """Map a reference MSResAttnRefineV2 / V2Base / V3 state_dict
+    (nets/refine_nets.py:403-704, 709-930, 934-1246) onto our
+    _PyramidAttnRefine params (verified: tests/test_attn_parity.py).
+
+    The three variants share submodule names; V3 swaps trailing convs for
+    ResnetBlocks and drops layer_1/2_fuse, V2Base drops the attn_down
+    layers (no correlation attention).
+    """
+    p = jax.tree_util.tree_map(lambda x: x, params)
+    res = variant == "v3"
+
+    def conv(dst, tname):
+        dst["kernel"] = conv_w(sd, tname + ".weight")
+        dst["bias"] = vec(sd, tname + ".bias")
+
+    def group(name, conv_ids, res_ids=()):
+        for k, t in enumerate(conv_ids):
+            conv(p[f"{name}_{k}"]["Conv_0"], f"{name}.{t}")
+        for k, t in enumerate(res_ids):
+            conv(p[f"{name}_res{k}"]["Conv_0"], f"{name}.{t}.conv.0")
+            conv(p[f"{name}_res{k}"]["Conv_1"], f"{name}.{t}.conv.2")
+
+    if res:
+        group("input_layer", (0, 2), (4, 5))
+        group("encoder_layer_1", (0,), (2, 3))
+        group("encoder_layer_2", (0, 2), (4, 5))
+        group("encoder_layer_3", (0, 2), (4, 5))
+        group("layer_1_neighbor_tf", (0, 2), (4, 5))
+        group("layer_2_neighbor_tf", (0, 2), (4, 5))
+        group("layer_3_fuse", (0, 2), (4, 5))
+    else:
+        group("input_layer", (0, 2))
+        group("encoder_layer_1", (0, 2))
+        group("encoder_layer_2", (0, 2, 4))
+        group("encoder_layer_3", (0, 2, 4))
+        group("layer_1_neighbor_tf", (0, 2))
+        group("layer_2_neighbor_tf", (0, 2))
+        group("layer_3_fuse", (0, 2))
+        group("layer_1_fuse", (0, 2))
+        group("layer_2_fuse", (0, 2))
+    if variant != "v2base":
+        for k in (1, 2, 3):
+            group(f"attn_down_layer_{k}", (0, 2, 4))
+    for k in (3, 2):
+        name = f"decoder_layer_{k}"
+        ct = p[f"{name}_t"]["ConvTranspose_0"]
+        ct["kernel"] = convT_w(sd, f"{name}.0.weight")
+        ct["bias"] = vec(sd, f"{name}.0.bias")
+        conv(p[f"{name}_c"]["Conv_0"], f"{name}.2")
+        if res:
+            for j, t in ((0, 4), (1, 5)):
+                conv(p[f"{name}_r{j}"]["Conv_0"], f"{name}.{t}.conv.0")
+                conv(p[f"{name}_r{j}"]["Conv_1"], f"{name}.{t}.conv.2")
+        else:
+            conv(p[f"{name}_c2"]["Conv_0"], f"{name}.4")
+    for k in (3, 2, 1):
+        name = f"out_layer_{k}"
+        if res:
+            conv(p[f"{name}_0"]["Conv_0"], f"{name}.0")
+            for j, t in ((0, 2), (1, 3)):
+                conv(p[f"{name}_r{j}"]["Conv_0"], f"{name}.{t}.conv.0")
+                conv(p[f"{name}_r{j}"]["Conv_1"], f"{name}.{t}.conv.2")
+        else:
+            conv(p[f"{name}_0"]["Conv_0"], f"{name}.0")
+            conv(p[f"{name}_1"]["Conv_0"], f"{name}.2")
+        conv(p[f"{name}_out"], f"{name}.4")
+    return p
+
+
 def port_track_gen(sd: Mapping, params: Dict) -> Dict:
     """Map a reference TrackGen / TrackGenV2 state_dict (nets/TrackGen.py:
     8-434; both share submodule names) onto our params (verified:
@@ -432,10 +502,22 @@ def port_reference_checkpoint(ckpt: Mapping, states: Dict[str, Dict],
                 bs_states.get("coarse_model", {}))
         else:
             out["coarse_model"] = port_hrnet(sd, states["coarse_model"])
-    for name, porter in (("refine_model", port_srn_refine),
-                         ("stage3_model", port_ms_res_attn_refine)):
-        if name in ckpt and name in states:
-            out[name] = porter(sd_of(name), states[name])
+    if "refine_model" in ckpt and "refine_model" in states:
+        out["refine_model"] = port_srn_refine(
+            sd_of("refine_model"), states["refine_model"])
+    if "stage3_model" in ckpt and "stage3_model" in states:
+        sd = sd_of("stage3_model")
+        # V2/V3/V2Base detected by key signature; V1 otherwise
+        if "attn_down_layer_1.0.weight" in sd:
+            variant = ("v3" if "input_layer.4.conv.0.weight" in sd else "v2")
+            out["stage3_model"] = port_pyramid_attn(
+                sd, states["stage3_model"], variant)
+        elif "layer_3_fuse.0.weight" in sd:
+            out["stage3_model"] = port_pyramid_attn(
+                sd, states["stage3_model"], "v2base")
+        else:
+            out["stage3_model"] = port_ms_res_attn_refine(
+                sd, states["stage3_model"])
     if "track_gen_model" in ckpt and "track_gen_model" in states:
         out["track_gen_model"] = port_track_gen(
             sd_of("track_gen_model"), states["track_gen_model"])

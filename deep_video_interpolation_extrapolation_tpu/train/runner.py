@@ -83,6 +83,7 @@ class Runner:
         self._build_steps()
         self.writer = _writer(cfg, exp_dir) if jax.process_index() == 0 else None
         self._viz_fwd = None
+        self._disc_fwd = None
 
     # ------------------------------------------------------------- build
     def _sample_batch(self) -> Dict[str, jnp.ndarray]:
@@ -195,16 +196,96 @@ class Runner:
         return out
 
     # ------------------------------------------------------------- train
-    def _log_images(self, batch, step: int) -> None:
-        """Input/pred/GT + seg-vis grid every 30 steps
-        (InterTrainer.py:499-513)."""
-        if not self.writer:
-            return
+    def _local_disc_maps(self, batch, pred_rgb, pred_seg):
+        """Local-discriminator prob maps on the viz sample (real + fake,
+        frame + video families) for the --local_disc heatmap row
+        (InterGANTrainer.py:228-239,535-544).  Returns [] when neither
+        family produces a spatial map (global discriminators)."""
+        cfg = self.cfg
+        if self._disc_fwd is None:
+            def fwd(params, bs, fake_rgb, fake_seg, batch):
+                x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+                outs = []
+                for flag, pkey, mkey, video in (
+                        ("frame_disc", "frame_disc_model",
+                         cfg.frame_disc_model, False),
+                        ("video_disc", "video_disc_model",
+                         cfg.video_disc_model, True)):
+                    if not getattr(cfg, flag) or pkey not in params:
+                        outs.extend([None, None])
+                        continue
+                    disc = registry.build_disc(cfg, mkey)
+                    variables = {"params": params[pkey]}
+                    if bs and pkey in bs:
+                        variables["batch_stats"] = bs[pkey]
+                    extra = (x, seg) if video else ()
+                    real = disc.apply(variables, gt_x, gt_seg, *extra,
+                                      bboxes=batch.get("bboxes"), train=False)
+                    fake = disc.apply(variables, fake_rgb, fake_seg, *extra,
+                                      bboxes=batch.get("bboxes"), train=False)
+                    outs.extend([real, fake])
+                return outs
+            self._disc_fwd = jax.jit(fwd)
+        fake_seg = jax.nn.softmax(pred_seg, axis=-1)
+        outs = self._disc_fwd(self.state.params, self.state.batch_stats,
+                              jnp.clip(pred_rgb, -1, 1), fake_seg, batch)
         from deep_video_interpolation_extrapolation_tpu.utils.vis import (
+            prob_heatmap,
+        )
+        maps = []
+        for o in outs:
+            if o is not None and getattr(o, "ndim", 0) == 4:
+                # clamp like the reference ((InterGANTrainer.py:536) then
+                # normalize (x+1)/2 before the heatmap colormap
+                p = (np.clip(np.asarray(o[0], np.float32), -1, 1) + 1) / 2
+                maps.append(prob_heatmap(p))
+        return maps
+
+    def _log_gan_images(self, batch, step: int) -> None:
+        """The GAN trainer's viz panel (InterGANTrainer.py:209-259):
+        nrow=4 grid of [gt rgbs with coarse inserted] + [bbox overlays when
+        a det/track consumer is active] + [seg vis row] + [local-disc
+        heatmaps under --local_disc]."""
+        from deep_video_interpolation_extrapolation_tpu.utils.vis import (
+            draw_bbox,
             make_grid,
             seg_to_rgb,
             to01,
         )
+        cfg = self.cfg
+        self._ensure_viz_fwd()
+        x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
+        seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
+        self.rng, k = jax.random.split(self.rng)
+        pred_rgb, pred_seg = self._viz_fwd(
+            self.state.params, self.state.batch_stats, x, seg, k)
+        f = [to01(np.asarray(batch[f"frame{i}"][0], np.float32))
+             for i in (1, 2, 3)]
+        s = [seg_to_rgb(np.asarray(batch[f"seg{i}"][0], np.float32))
+             for i in (1, 2, 3)]
+        rgbs = [f[0], f[1], to01(np.asarray(pred_rgb[0], np.float32)), f[2]]
+        segs = [s[0], s[1], seg_to_rgb(np.asarray(pred_seg[0], np.float32)),
+                s[2]]
+        imgs = rgbs + segs
+        need_bbox = (cfg.frame_det_disc or cfg.video_det_disc
+                     or cfg.track_obj_loss or cfg.track_gen
+                     or "Det" in cfg.frame_disc_model
+                     or "Det" in cfg.video_disc_model)
+        if need_bbox and "bboxes" in batch:
+            bb = np.asarray(batch["bboxes"][0], np.float32)
+            # rows 0/1/2 of the track tensor; the coarse tile reuses the
+            # mid-frame boxes (InterGANTrainer.py:243-251)
+            brow = [draw_bbox(rgbs[0], bb[0, :, -4:]),
+                    draw_bbox(rgbs[1], bb[1, :, -4:]),
+                    draw_bbox(rgbs[2], bb[1, :, -4:]),
+                    draw_bbox(rgbs[3], bb[2, :, -4:])]
+            imgs = imgs[:4] + brow + imgs[4:]
+        if cfg.local_disc and cfg.split == "train":
+            imgs += self._local_disc_maps(batch, pred_rgb, pred_seg)
+        self.writer.add_image("train/gan_panel", make_grid(imgs, nrow=4),
+                              step)
+
+    def _ensure_viz_fwd(self):
         if self._viz_fwd is None:
             if self.is_gan:
                 model = _GanEvalAdapter(self.cfg)
@@ -219,6 +300,18 @@ class Runner:
                                   rngs={"noise": key})
                 return out[0], out[1]
             self._viz_fwd = jax.jit(fwd)
+
+    def _log_images(self, batch, step: int) -> None:
+        """Input/pred/GT + seg-vis grid every 30 steps
+        (InterTrainer.py:499-513)."""
+        if not self.writer:
+            return
+        from deep_video_interpolation_extrapolation_tpu.utils.vis import (
+            make_grid,
+            seg_to_rgb,
+            to01,
+        )
+        self._ensure_viz_fwd()
         x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
         seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
         self.rng, k = jax.random.split(self.rng)
@@ -297,7 +390,10 @@ class Runner:
                     bank = MetricBank([])
             if (self.writer and cfg.syn_type == "inter" and i % 30 == 0
                     and cfg.dataset != "synthetic"):
-                self._log_images(batch, self.epoch * len(loader) + i)
+                if self.is_gan:
+                    self._log_gan_images(batch, self.epoch * len(loader) + i)
+                else:
+                    self._log_images(batch, self.epoch * len(loader) + i)
             t0 = time.time()
         for d in pending:
             last = {k: float(v) for k, v in d.items()}

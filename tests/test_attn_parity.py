@@ -115,3 +115,66 @@ def test_attn_refine_parity_two_scales():
     for o, r in zip(our_outs, ref_outs):
         np.testing.assert_allclose(
             np.asarray(o), r.permute(0, 2, 3, 1).numpy(), atol=1e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("variant", ["v2", "v2base", "v3"])
+def test_pyramid_attn_parity(variant):
+    """V2/V2Base/V3 coarse-to-fine refiners vs the torch oracles
+    (refine_nets.py:403-704, 709-930, 934-1246) through
+    tools/torch_port.port_pyramid_attn."""
+    import argparse
+    import torch
+
+    ref = _load_ref()
+    cls = {"v2": ref.MSResAttnRefineV2, "v2base": ref.MSResAttnRefineV2Base,
+           "v3": ref.MSResAttnRefineV3}[variant]
+    args = argparse.Namespace(n_scales=3, stage3_prop=False, mode="xs2xs",
+                              rank=0)
+    torch.manual_seed(0)
+    tm = cls(args)
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    from deep_video_interpolation_extrapolation_tpu.models.attn_refine import (
+        MSResAttnRefineV2,
+        MSResAttnRefineV2Base,
+        MSResAttnRefineV3,
+    )
+    ours = {"v2": MSResAttnRefineV2, "v2base": MSResAttnRefineV2Base,
+            "v3": MSResAttnRefineV3}[variant](
+        stage3_prop=False, dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    # level-3 attention runs at 1/16 (two enc strides + two down strides):
+    # 64x64 keeps every level >= the 5x5 window
+    b, h, w = 1, 64, 64
+    coarse = rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)
+    seg = np.eye(20, dtype=np.float32)[rng.randint(0, 20, (b, h, w))]
+    nb_img = rng.uniform(-1, 1, (b, h, w, 6)).astype(np.float32)
+    nb_seg = np.concatenate(
+        [np.eye(20, dtype=np.float32)[rng.randint(0, 20, (b, h, w))]
+         for _ in range(2)], -1)
+
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(coarse),
+                          jnp.asarray(seg), jnp.asarray(nb_img),
+                          jnp.asarray(nb_seg), train=False)
+    assert len(jax.tree_util.tree_leaves(variables["params"])) == len(sd), (
+        len(jax.tree_util.tree_leaves(variables["params"])), len(sd))
+    from deep_video_interpolation_extrapolation_tpu.tools.torch_port import (
+        port_pyramid_attn,
+    )
+    params = port_pyramid_attn(sd, variables["params"], variant)
+
+    our_outs, _ = ours.apply(
+        {"params": params}, jnp.asarray(coarse), jnp.asarray(seg),
+        jnp.asarray(nb_img), jnp.asarray(nb_seg), train=False)
+
+    def t(x):
+        return torch.from_numpy(x).permute(0, 3, 1, 2)
+    with torch.no_grad():
+        ref_outs, _ = tm(t(coarse), t(seg), t(nb_img), t(nb_seg))
+    assert len(our_outs) == len(ref_outs) == 3
+    for i, (o, r) in enumerate(zip(our_outs, ref_outs)):
+        np.testing.assert_allclose(
+            np.asarray(o), r.permute(0, 2, 3, 1).numpy(),
+            atol=2e-3, rtol=1e-2, err_msg=f"{variant} level {i}")

@@ -115,3 +115,22 @@ def test_full_model_1d_vs_2d_mesh_forward():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(outs["1d"][1], outs["2d"][1],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_multihost_hook_invokes_distributed_init(monkeypatch):
+    """DVIE_MULTIHOST=1 routes through jax.distributed.initialize (the
+    multi-host DCN path, replacing the reference's TCP-port rendezvous,
+    main.py:134-138).  The call itself is mocked — there is no second host
+    in CI — but the code path executes."""
+    import unittest.mock as mock
+
+    from deep_video_interpolation_extrapolation_tpu.parallel import mesh
+
+    called = mock.MagicMock()
+    monkeypatch.setattr(jax.distributed, "initialize", called)
+    monkeypatch.delenv("DVIE_MULTIHOST", raising=False)
+    mesh.maybe_init_distributed()
+    called.assert_not_called()
+    monkeypatch.setenv("DVIE_MULTIHOST", "1")
+    mesh.maybe_init_distributed()
+    called.assert_called_once()
