@@ -164,7 +164,10 @@ class MSResAttnRefine(nn.Module):
                     pallas_corr,
                 )
                 bh, bw_, bc = x_e2.shape[1], x_e2.shape[2], x_e2.shape[3]
-                on_tpu = jax.devices()[0].platform == "tpu"
+                from deep_video_interpolation_extrapolation_tpu.core.hw import (
+                    pallas_enabled,
+                )
+                on_tpu = pallas_enabled()
                 if (on_tpu and not self.spatial_sharded
                         and pallas_corr.fits_vmem(bh, bw_, bc, bc)):
                     agg, flow4 = pallas_corr.fused_window_attention(

@@ -24,6 +24,35 @@ def lrelu(x: jnp.ndarray, slope: float = 0.2) -> jnp.ndarray:
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+def _ae_or_conv(x, features, f, dtype, spatial_sharded, name=None):
+    """Packed 3x3 conv followed by leaky-ReLU, for use inside a compact
+    ``__call__``: routes through the A+E Pallas kernel with the lrelu
+    fused in (ops/pallas_ae_conv.py) when eligible, otherwise the XLA
+    packed conv + lrelu.  Exactly one Conv child is created either way
+    (identical param names/shapes — checkpoint-compatible)."""
+    import os
+
+    import jax as _jax
+    from deep_video_interpolation_extrapolation_tpu.core.hw import (
+        pallas_enabled,
+    )
+    if (f == 2 and pallas_enabled() and not spatial_sharded
+            and os.environ.get("DVIE_AE_CONV", "1") != "0"):
+        from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
+            conv3x3_packed_ae,
+            fits,
+        )
+        if fits(x, f):
+            k, _ = Conv(features, 3, use_bias=False, dtype=dtype,
+                        in_features=x.shape[-1] // f, name=name
+                        )(None, return_params=True)
+            dt = dtype or x.dtype
+            return conv3x3_packed_ae(x.astype(dt), k, None, True, f)
+    out = Conv(features, 3, 1, use_bias=False, dtype=dtype, packed_io=f,
+               name=name)(x)
+    return lrelu(out)
+
+
 class Conv(nn.Module):
     """torch-style Conv2d: symmetric int padding, optional dilation.
 
@@ -54,6 +83,8 @@ class Conv(nn.Module):
     # Static input channel count — only needed for ``return_params`` calls
     # where no input tensor is available to derive it from.
     in_features: Optional[int] = None
+    # activations sharded over a spatial mesh axis: Pallas fast paths off
+    spatial_sharded: bool = False
 
     @nn.compact
     def __call__(self, x, *, return_params: bool = False):
@@ -220,6 +251,8 @@ class BasicBlock(nn.Module):
     dtype: Optional[Dtype] = None
     expansion: int = 1
     packed_io: int = 0
+    # activations sharded over a spatial mesh axis: Pallas fast paths off
+    spatial_sharded: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -229,7 +262,10 @@ class BasicBlock(nn.Module):
             import jax as _jax
             f = int(self.packed_io)
             assert self.stride == 1 and x.shape[-1] == f * self.features
-            if (_jax.default_backend() == "tpu" and f == 2
+            from deep_video_interpolation_extrapolation_tpu.core.hw import (
+                pallas_enabled,
+            )
+            if (pallas_enabled() and f == 2
                     and os.environ.get("DVIE_FUSED_BLOCK", "0") == "1"):
                 from deep_video_interpolation_extrapolation_tpu.ops.pallas_resblock import (
                     fused_basicblock,
@@ -245,6 +281,26 @@ class BasicBlock(nn.Module):
                                  in_features=c)(None, return_params=True)
                     dt = self.dtype or x.dtype
                     return fused_basicblock(x.astype(dt), k1, k2, f)
+            if (pallas_enabled() and f == 2
+                    and not self.spatial_sharded
+                    and os.environ.get("DVIE_AE_CONV", "1") != "0"):
+                from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
+                    conv3x3_packed_ae,
+                    fits as ae_fits,
+                )
+                if ae_fits(x, f):
+                    # per-conv A+E kernels (1.33x nominal MXU FLOPs vs the
+                    # dense-packed 2x wall; lrelu/residual fused in) —
+                    # ops/pallas_ae_conv.py
+                    c = self.features
+                    k1, _ = Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=c)(None, return_params=True)
+                    k2, _ = Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=c)(None, return_params=True)
+                    dt = self.dtype or x.dtype
+                    xd = x.astype(dt)
+                    h = conv3x3_packed_ae(xd, k1, None, True, f)
+                    return conv3x3_packed_ae(h, k2, xd, True, f)
             out = Conv(self.features, 3, 1, use_bias=False, dtype=self.dtype,
                        packed_io=f)(x)
             out = lrelu(out)
@@ -277,6 +333,8 @@ class Bottleneck(nn.Module):
     packed_io: int = 0
     # static input channel count, required only for return_params calls
     in_features: Optional[int] = None
+    # activations sharded over a spatial mesh axis: Pallas fast paths off
+    spatial_sharded: bool = False
 
     @nn.compact
     def __call__(self, x, *, return_params: bool = False):
@@ -310,7 +368,10 @@ class Bottleneck(nn.Module):
             import os
 
             import jax as _jax
-            if (_jax.default_backend() == "tpu"
+            from deep_video_interpolation_extrapolation_tpu.core.hw import (
+                pallas_enabled as _pe_bn,
+            )
+            if (_pe_bn()
                     and os.environ.get("DVIE_FUSED_BLOCK", "0") == "1"):
                 from deep_video_interpolation_extrapolation_tpu.ops.pallas_resblock import (
                     fused_bottleneck,
@@ -337,9 +398,7 @@ class Bottleneck(nn.Module):
         out = Conv(planes, 1, 1, padding=0, use_bias=False, dtype=self.dtype,
                    packed_io=f)(x)
         out = lrelu(out)
-        out = Conv(planes, 3, self.stride, use_bias=False, dtype=self.dtype,
-                   packed_io=f)(out)
-        out = lrelu(out)
+        out = _ae_or_conv(out, planes, f, self.dtype, self.spatial_sharded)
         out = Conv(out_ch, 1, 1, padding=0, use_bias=False, dtype=self.dtype,
                    packed_io=f)(out)
         if self.stride != 1 or logical_in != out_ch:

@@ -97,6 +97,12 @@ class HighResolutionModule(nn.Module):
     # 8x512x1024 bf16 (trace-verified) and drag the fuse lrelu into
     # mixed-layout select fusions.
     keep_packed_out0: bool = False
+    # the fused out-0 Pallas kernel (ops/pallas_fuse0.py) computes
+    # lrelu(y0 + up2(t1) [+ up4(t2)]) in one VMEM pass; this field selects
+    # its output layout (packed feeds the next stage's packed chain)
+    fuse0_packed_out: bool = False
+    # bypass Pallas fast paths when activations are spatially sharded
+    spatial_sharded: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]):
@@ -123,7 +129,8 @@ class HighResolutionModule(nn.Module):
                 h = pack_w(h, 2)
             for _ in range(self.num_blocks[i]):
                 h = BasicBlock(self.num_channels[i], dtype=self.dtype,
-                               packed_io=2 if packable else 0)(h)
+                               packed_io=2 if packable else 0,
+                               spatial_sharded=self.spatial_sharded)(h)
             if i == 0:
                 y0_packed = packable
                 if packable and not self.keep_packed_out0:
@@ -142,9 +149,37 @@ class HighResolutionModule(nn.Module):
 
         full_size = ((ys[0].shape[1], ys[0].shape[2] * 2) if y0_packed
                      else ys[0].shape[1:3])
+        import os as _os
+        from deep_video_interpolation_extrapolation_tpu.core.hw import (
+            pallas_enabled,
+        )
+        use_fuse0 = (
+            y0_packed_t is not None and self.num_branches in (2, 3)
+            and self.multi_scale_output and not self.spatial_sharded
+            and pallas_enabled()
+            and _os.environ.get("DVIE_FUSE0", "1") != "0")
+        if use_fuse0:
+            from deep_video_interpolation_extrapolation_tpu.ops import (
+                pallas_fuse0,
+            )
+            use_fuse0 = pallas_fuse0.fits(y0_packed_t, ys[1])
         outs = []
         n_out = self.num_branches if self.multi_scale_output else 1
         for i in range(n_out):
+            if i == 0 and use_fuse0:
+                # fused out-0: the 1x1 fuse convs stay on XLA (tiny), the
+                # upsample+sum+lrelu runs in one Pallas pass; param names
+                # match the unfused path (fuse_0_1 / fuse_0_2)
+                t1 = Conv(self.num_channels[0], 1, padding=0, use_bias=False,
+                          dtype=self.dtype, name="fuse_0_1")(ys[1])
+                t2 = None
+                if self.num_branches >= 3:
+                    t2 = Conv(self.num_channels[0], 1, padding=0,
+                              use_bias=False, dtype=self.dtype,
+                              name="fuse_0_2")(ys[2])
+                outs.append(pallas_fuse0.fused_out0(
+                    y0_packed_t, t1, t2, self.fuse0_packed_out))
+                continue
             y = None
             packed_sum = i == 0 and y0_packed
             for j in range(self.num_branches):
@@ -200,6 +235,7 @@ class _Transition(nn.Module):
     cur_channels: Tuple[int, ...]
     dtype: Optional[Dtype] = None
     packed_in: int = 0
+    spatial_sharded: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]):
@@ -208,10 +244,18 @@ class _Transition(nn.Module):
         for i, c in enumerate(self.cur_channels):
             if i < len(self.pre_channels):
                 if self.pre_channels[i] != c:
-                    outs.append(
-                        lrelu(Conv(c, 3, use_bias=False, dtype=self.dtype,
-                                   packed_io=f, name=f"trans_{i}")(xs[i]))
-                    )
+                    if f:
+                        from deep_video_interpolation_extrapolation_tpu.models.blocks import (
+                            _ae_or_conv,
+                        )
+                        outs.append(_ae_or_conv(
+                            xs[i], c, f, self.dtype, self.spatial_sharded,
+                            name=f"trans_{i}"))
+                    else:
+                        outs.append(
+                            lrelu(Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                       name=f"trans_{i}")(xs[i]))
+                        )
                 else:
                     h = xs[i]
                     if f:
@@ -321,9 +365,11 @@ class _HRBackbone(nn.Module):
         # packed 3x3 convs run {3,0,2,1}).  Parity pinned by
         # test_pallas_chain either way.
         import os
+        from deep_video_interpolation_extrapolation_tpu.core.hw import (
+            pallas_enabled as _pe,
+        )
         use_chain = False
-        if (f == 2 and jax.default_backend() == "tpu"
-                and not self.spatial_sharded
+        if (f == 2 and _pe() and not self.spatial_sharded
                 and os.environ.get("DVIE_CHAIN_BOUNDARY", "0") == "1"):
             from deep_video_interpolation_extrapolation_tpu.ops import (
                 pallas_chain,
@@ -334,6 +380,7 @@ class _HRBackbone(nn.Module):
         else:
             for i in range(4):
                 x = Bottleneck(64, dtype=self.dtype, packed_io=f,
+                               spatial_sharded=self.spatial_sharded,
                                name=f"layer1_{i}")(x)
 
         # transition1 consumes the packed layer1 output directly: trans_0's
@@ -342,24 +389,31 @@ class _HRBackbone(nn.Module):
         # unpacked — the packed region ends per-branch, never via a bulk
         # unpack of the 256-ch full-res tensor.
         xs = _Transition((256,), STAGE2_CFG["num_channels"], dtype=self.dtype,
-                         packed_in=f, name="transition1")([x])
+                         packed_in=f, spatial_sharded=self.spatial_sharded,
+                         name="transition1")([x])
         # keep_packed_out0 (branch-0 packed through the fuse sums and
         # across stage boundaries) was A/B'd at 312 vs 287 ms/step at
         # 8x512x1024 bf16 and stays OFF: the ~3.1 ms/stage unpack retiles
         # it removes are cheaper than the elementwise packed upsampler +
         # packed-sum relayouts it adds (DVIE_PACKED_STAGES=1 re-enables;
         # parity pinned by test_packed_conv.test_keep_packed_out0_*).
-        import os
         kp = bool(f) and os.environ.get("DVIE_PACKED_STAGES", "0") == "1"
+        # the fused out-0 kernel emits stage2's out-0 PACKED (feeding
+        # stage3's packed branch chain with zero relayouts); stage3's own
+        # out-0 comes out unpacked for the head stage
+        f0 = (bool(f) and _pe() and not self.spatial_sharded and not kp
+              and os.environ.get("DVIE_FUSE0", "1") != "0")
         xs = HighResolutionModule(
             dtype=self.dtype, name="stage2", branch0_packed=bool(f),
-            keep_packed_out0=kp, **STAGE2_CFG)(xs)
+            keep_packed_out0=kp, fuse0_packed_out=f0,
+            spatial_sharded=self.spatial_sharded, **STAGE2_CFG)(xs)
 
         xs = _Transition(STAGE2_CFG["num_channels"], STAGE3_CFG["num_channels"],
                          dtype=self.dtype, name="transition2")(xs)
         xs = HighResolutionModule(
-            dtype=self.dtype, name="stage3", branch0_packed=kp,
-            keep_packed_out0=kp, **STAGE3_CFG)(xs)
+            dtype=self.dtype, name="stage3", branch0_packed=kp or f0,
+            keep_packed_out0=kp,
+            spatial_sharded=self.spatial_sharded, **STAGE3_CFG)(xs)
 
         if self.highres_large:
             xs = _Transition(STAGE3_CFG["num_channels"], STAGE4_CFG["num_channels"],
@@ -446,7 +500,10 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
     rgb_head = _Head(rgb_dim, cin, dtype=dtype, name="rgb_layer")
     seg_head = _Head(seg_dim, cin, dtype=dtype, name="seg_layer")
 
-    use_fused = (jax.default_backend() == "tpu" and not highres_large
+    from deep_video_interpolation_extrapolation_tpu.core.hw import (
+        pallas_enabled,
+    )
+    use_fused = (pallas_enabled() and not highres_large
                  and not spatial_sharded
                  and os.environ.get("DVIE_FUSED_HEAD", "1") != "0")
     if use_fused:

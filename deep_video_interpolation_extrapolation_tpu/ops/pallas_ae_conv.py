@@ -1,0 +1,197 @@
+"""Single width-packed 3x3 conv via the A+E decomposition, in Pallas.
+
+The standard packed 3x3 (ops/packed_conv.pack_kernel_3x3) executes a dense
+(3, 3, fC, fO) kernel whose cross-phase blocks are ~half structured zeros:
+at f=2 the MXU performs 2x the conv's nominal FLOPs — and the trace shows
+XLA runs these convs at 97-100% of that padded wall, so the wall itself is
+the only thing left to attack.  The A+E split lowers it to 1.33x nominal:
+
+- A: the same-cell taps.  For f=2 every |dx|<=1 tap lands inside the cell,
+  so A is a FULLY DENSE (3, 2C, 2O) per-ky matmul — zero waste.
+- E: the two cross-cell taps (out phase 0 <- prev cell phase 1, out phase
+  f-1 <- next cell phase 0), a (3, 2C, 2O) matrix with 2 nonzero C x O
+  blocks, fed by the +-1-cell rolls of the input (VMEM-only here; the
+  XLA-composed A+E split lost 45->69 ms materializing these shifts to HBM,
+  ops/packed_conv.ae_kernels_3x3 notes).
+
+Optional residual-add and leaky-ReLU fuse into the same pass (the
+BasicBlock tail).  SAME zero padding comes from host-side zero pads —
+exact for a linear conv.  Cross-program double-buffered halo DMA as in
+ops/pallas_resblock.py.  Differentiable via custom_vjp against the XLA
+packed reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+    ae_kernels_3x3,
+    pack_kernel_3x3,
+)
+
+_DN = (((2,), (0,)), ((), ()))
+
+
+def _edge_kernel(k: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(3, fC, fO) E matrix for the in-kernel lane-select layout (see
+    ops/pallas_resblock._edge_kernel)."""
+    kh, kw, c, o = k.shape
+    e = jnp.zeros((3, f * c, f * o), k.dtype)
+    e = e.at[:, :c, (f - 1) * o:].set(k[:, 2])
+    e = e.at[:, (f - 1) * c:, :o].set(k[:, 0])
+    return e
+
+
+def _kernel(x_ref, a_ref, e_ref, res_ref, out_ref, buf, sems, *,
+            th, wc, total, ni, nj, split, relu, has_res):
+    p = pl.program_id(0)
+
+    def dma(slot, q):
+        bi = q // (ni * nj)
+        r = q % (ni * nj)
+        ti = r // nj
+        tj = r % nj
+        return pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(ti * th, th + 2), pl.ds(tj * wc, wc + 16)],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(p == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(p + 1 < total)
+    def _():
+        dma((p + 1) % 2, p + 1).start()
+
+    dma(p % 2, p).wait()
+    x = buf[p % 2]                                   # (th+2, wc+16, fC)
+
+    # +-1 cell shifts via positive rolls in f32 (Mosaic: bf16 rotate
+    # unsupported; negative sublane shifts on non-pow2 sizes buggy)
+    xf = x.astype(jnp.float32)
+    m_m1 = pltpu.roll(xf, 1, axis=1)
+    m_p1 = pltpu.roll(xf, xf.shape[1] - 1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 2)
+    m = jnp.where(lane >= split, m_m1, m_p1).astype(x.dtype)
+
+    a = a_ref[...]
+    e = e_ref[...]
+    acc = None
+    for ky in range(3):
+        t = jax.lax.dot_general(x[ky:ky + th], a[ky], _DN,
+                                preferred_element_type=jnp.float32)
+        t = t + jax.lax.dot_general(m[ky:ky + th], e[ky], _DN,
+                                    preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    out = acc[:, 8:8 + wc].astype(x.dtype)
+    if has_res:
+        out = out + res_ref[0]
+    if relu:
+        out = jnp.where(out.astype(jnp.float32) >= 0, out,
+                        jnp.asarray(0.2, out.dtype) * out)
+    out_ref[0] = out
+
+
+def _pick(n, target):
+    for t in (target, target // 2, target // 4, 8):
+        if t and n % t == 0:
+            return t
+    return 0
+
+
+def fits(xp: jnp.ndarray, f: int = 2) -> bool:
+    b, h, wp, fc = xp.shape
+    return (f == 2 and fc % 128 == 0 and _pick(h, 8) >= 8
+            and _pick(wp, 128) >= 16)
+
+
+def _impl(xp, k, res, relu, f=2, interpret=False):
+    b, h, wp, fc = xp.shape
+    th = _pick(h, 8)
+    wc = _pick(wp, 128)
+    ni, nj = h // th, wp // wc
+    total = b * ni * nj
+    dt = xp.dtype
+    fo = f * k.shape[3]
+    c = k.shape[2]
+
+    xpad = jnp.pad(xp, ((0, 0), (1, 1), (8, 8), (0, 0)))
+    ka, _ = ae_kernels_3x3(k, f)
+    a = ka[:, 0].astype(dt)
+    e = _edge_kernel(k, f).astype(dt)
+    has_res = res is not None
+    res_in = res if has_res else jnp.zeros((b, 1, 1, fo), dt)
+
+    kern = functools.partial(
+        _kernel, th=th, wc=wc, total=total, ni=ni, nj=nj,
+        split=(f - 1) * c, relu=relu, has_res=has_res)
+
+    def oidx(p, _ni=ni, _nj=nj):
+        r = p % (_ni * _nj)
+        return (p // (_ni * _nj), r // _nj, r % _nj, 0)
+
+    res_spec = (pl.BlockSpec((1, th, wc, fo), oidx, memory_space=pltpu.VMEM)
+                if has_res else pl.BlockSpec(memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kern,
+        grid=(total,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  res_spec],
+        out_specs=pl.BlockSpec((1, th, wc, fo), oidx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, fo), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wc + 16, fc), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xpad, a, e, res_in)
+
+
+def _ref(xp, k, res, relu, f=2):
+    dt = xp.dtype
+    out = jax.lax.conv_general_dilated(
+        xp, pack_kernel_3x3(k, f).astype(dt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dt)
+    if res is not None:
+        out = out + res
+    if relu:
+        out = jnp.where(out >= 0, out, jnp.asarray(0.2, dt) * out)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3x3_packed_ae(xp, k, res=None, relu=False, f=2, interpret=False):
+    """Width-packed 3x3 SAME conv (+ optional residual + leaky-ReLU).
+
+    xp (B, H, Wp, f*C) packed; k (3, 3, C, O) logical HWIO (no bias — the
+    HRNet convs are bias-free); res (B, H, Wp, f*O) or None.
+    Exact math vs the XLA packed conv (f32 accumulation, bf16 out).
+    """
+    return _impl(xp, k, res, relu, f, interpret)
+
+
+def _fwd(xp, k, res, relu, f, interpret):
+    return conv3x3_packed_ae(xp, k, res, relu, f, interpret), (xp, k, res)
+
+
+def _bwd(relu, f, interpret, resid, g):
+    xp, k, res = resid
+    if res is None:
+        _, vjp = jax.vjp(lambda a, b: _ref(a, b, None, relu, f), xp, k)
+        da, db = vjp(g)
+        return da, db, None
+    _, vjp = jax.vjp(lambda a, b, r: _ref(a, b, r, relu, f), xp, k, res)
+    return vjp(g)
+
+
+conv3x3_packed_ae.defvjp(_fwd, _bwd)

@@ -1,0 +1,242 @@
+"""Fused HRNet stage fuse-out0 kernel: lrelu(y0 + up2x(t1) [+ up4x(t2)]).
+
+The full-resolution branch-0 fuse sum (reference nets/HRNet.py:202-227,
+fuse_layers i=0) is the hottest pure-bandwidth region after the heads: at
+8x512x1024 bf16 the XLA composition costs ~30+ ms/step across both stages
+— depthwise-convT upsamplers that run at ~220 GB/s with interleaved
+writes (fusion.825/843/846 in the round-2 trace), the sum+lrelu fusions at
+~340 GB/s reading three mixed-layout operands, the branch-0 unpack
+relayout copies, and (between stages) a pack relayout for the next
+packed block chain.  Its wall is ~4 ms of HBM streaming.
+
+This kernel reads the width-packed branch-0 block output (B,H,W/2,2C),
+DMAs 1-halo slabs of the fuse-conv outputs t1 (B,H/2,W/2,C) and optionally
+t2 (B,H/4,W/4,C), bilinearly upsamples them on the VPU in f32 (the
+phase-blend machinery of ops/pallas_upshead.py — rows are untiled, column
+phases are whole-lane-block blends in the packed layout), adds, lrelus,
+and writes out0 ONCE — width-packed (B,H,W/2,2C) for a following packed
+branch chain (stage2 -> stage3) or unpacked (B,H,W,C) for the head stage.
+Upsample convention = ops/resize.interpolate_bilinear(align_corners=False)
+exactly (half-pixel; edge-clamped via host-side edge padding).
+
+Differentiable via custom_vjp against the XLA composition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 8    # output rows per program
+WT = 32   # output f4-cells per program (= 128 px)
+
+
+def _kernel(y0_ref, t1_ref, t2_ref, out_ref, s1, sems, *,
+            th: int, wt: int, ni: int, nj: int, total: int,
+            has_t2: bool, packed_out: bool):
+    p = (pl.program_id(0) * ni + pl.program_id(1)) * nj + pl.program_id(2)
+
+    # t1 (128-lane, f2-packed) halo slabs via cross-program double-buffered
+    # DMA; t2 (64-lane) arrives as host-materialized overlapping windows
+    # through a pipelined BlockSpec — manual DMA slices need 128-aligned
+    # lane dims (Mosaic: "Slice shape along dimension 3 must be aligned to
+    # tiling (128), but is 64")
+    def dma(slot, q):
+        bi = q // (ni * nj)
+        r = q % (ni * nj)
+        ti = r // nj
+        tj = r % nj
+        return pltpu.make_async_copy(
+            t1_ref.at[bi, pl.ds(ti * (th // 2), th // 2 + 2),
+                      pl.ds(tj * wt, wt + 16)],
+            s1.at[slot], sems.at[slot])
+
+    @pl.when(p == 0)
+    def _():
+        dma(0, p).start()
+
+    @pl.when(p + 1 < total)
+    def _():
+        dma((p + 1) % 2, p + 1).start()
+
+    dma(p % 2, p).wait()
+    # ---- x2 upsample of t1 (f2-packed: lanes = [phase0 C | phase1 C]),
+    # phase math identical to ops/pallas_upshead.py (align_corners=False)
+    v1 = s1[p % 2].astype(jnp.float32)               # (th/2+2, wt+16, 2C)
+    rows = []
+    for r in range(th):
+        a = r // 2 + 1
+        if r % 2 == 0:
+            rows.append(0.25 * v1[a - 1] + 0.75 * v1[a])
+        else:
+            rows.append(0.75 * v1[a] + 0.25 * v1[a + 1])
+    u1 = jnp.stack(rows)                             # (th, wt+16, 2C)
+    c = u1.shape[-1] // 2
+    ph0, ph1 = u1[:, :, :c], u1[:, :, c:]
+    s_cells = u1.shape[1]
+    cm1_p1 = pltpu.roll(ph1, 1, axis=1)[:, 8:8 + wt]
+    c_p0 = ph0[:, 8:8 + wt]
+    c_p1 = ph1[:, 8:8 + wt]
+    cp1_p0 = pltpu.roll(ph0, s_cells - 1, axis=1)[:, 8:8 + wt]
+    acc = jnp.concatenate([
+        0.25 * cm1_p1 + 0.75 * c_p0,
+        0.75 * c_p0 + 0.25 * c_p1,
+        0.25 * c_p0 + 0.75 * c_p1,
+        0.75 * c_p1 + 0.25 * cp1_p0,
+    ], axis=-1)                                      # (th, wt, 4C) f4-packed
+
+    if has_t2:
+        v2 = t2_ref[0, 0, 0].astype(jnp.float32)     # (th/4+2, wt+16, C)
+        rows = []
+        wts = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125),
+               (0.625, 0.375))
+        for r in range(th):
+            a = r // 4 + 1
+            w_lo, w_hi = wts[r % 4]
+            if r % 4 < 2:
+                rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
+            else:
+                rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
+        u2 = jnp.stack(rows)                         # (th, wt+16, C)
+        cm1 = pltpu.roll(u2, 1, axis=1)[:, 8:8 + wt]
+        cc = u2[:, 8:8 + wt]
+        cp1_ = pltpu.roll(u2, u2.shape[1] - 1, axis=1)[:, 8:8 + wt]
+        acc = acc + jnp.concatenate([
+            0.375 * cm1 + 0.625 * cc,
+            0.125 * cm1 + 0.875 * cc,
+            0.875 * cc + 0.125 * cp1_,
+            0.625 * cc + 0.375 * cp1_,
+        ], axis=-1)                                  # f4-packed
+
+    # y0 arrives as an f4-packed (th, wt, 4C) block (the host reshapes the
+    # f2-packed array to (B,H,W/4,4C) — a free row-major view) and the
+    # output leaves in the same f4 form, reshaped back host-side:
+    # in-kernel lane reshapes next to loads/stores hit Mosaic's
+    # infer-vector-layout "unsupported shape cast" (probed: both the f32
+    # and bf16 (8,32,256)->(8,128,64) forms abort)
+    y0 = y0_ref[0].astype(jnp.float32)
+    acc = acc + y0
+    acc = jnp.where(acc >= 0, acc, 0.2 * acc)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def fits(y0p: jnp.ndarray, t1: jnp.ndarray) -> bool:
+    b, h, wp, c2 = y0p.shape
+    w = 2 * wp
+    return (c2 == 128 and h % TH == 0 and (w // 4) % 8 == 0
+            and t1.shape[1] == h // 2 and t1.shape[2] == w // 2)
+
+
+def _impl(y0p, t1, t2, packed_out, interpret=False):
+    b, h, wp, c2 = y0p.shape
+    c = c2 // 2
+    w = 2 * wp
+    w4 = w // 4
+    th, wt = TH, WT
+    while w4 % wt:
+        wt //= 2
+    assert h % th == 0 and wt >= 8, (h, w)
+    ni, nj = h // th, w4 // wt
+    dt = y0p.dtype
+    has_t2 = t2 is not None
+
+    # edge-pad + f2-pack t1 (pad BEFORE packing: cell -1 phase 1 must clamp
+    # to logical column 0); t2 becomes overlapping per-tile windows built
+    # with STATIC slices (a dynamic_slice gather lowers ~50 ms/step)
+    t1p = jnp.pad(t1, ((0, 0), (1, 1), (16, 16), (0, 0)), mode="edge")
+    t1p = t1p.reshape(b, h // 2 + 2, w4 + 16, 2 * c)
+    if has_t2:
+        t2p = jnp.pad(t2, ((0, 0), (1, 1), (8, 8), (0, 0)), mode="edge")
+        rows = jnp.stack(
+            [t2p[:, i * (th // 4):i * (th // 4) + th // 4 + 2]
+             for i in range(ni)], axis=1)       # (b, ni, th/4+2, w4+16, c)
+        t2w = jnp.stack(
+            [rows[:, :, :, j * wt:j * wt + wt + 16] for j in range(nj)],
+            axis=2)                             # (b, ni, nj, th/4+2, wt+16, c)
+    else:
+        t2w = jnp.zeros((b, ni, nj, th // 4 + 2, wt + 16, c), dt)
+
+    kern = functools.partial(_kernel, th=th, wt=wt, ni=ni, nj=nj,
+                             total=b * ni * nj, has_t2=has_t2,
+                             packed_out=packed_out)
+    # f2-packed (B,H,W/2,2C) -> f4 view (B,H,W/4,4C): free row-major
+    # reshape; ditto the output on the way back
+    y0f4 = y0p.reshape(b, h, w4, 4 * c)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, th, wt, 4 * c),
+                         lambda bi, i, j: (bi, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, 1, th // 4 + 2, wt + 16, c),
+                         lambda bi, i, j: (bi, i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, wt, 4 * c),
+                               lambda bi, i, j: (bi, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w4, 4 * c), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, th // 2 + 2, wt + 16, 2 * c), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(y0f4, t1p, t2w)
+    if packed_out:
+        return out.reshape(b, h, wp, 2 * c)
+    return out.reshape(b, h, w, c)
+
+
+def _ref(y0p, t1, t2, packed_out):
+    """XLA reference: unpack + bilinear upsample + sum + lrelu (+ repack)."""
+    from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+        pack_w,
+        unpack_w,
+    )
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        interpolate_bilinear,
+    )
+    y0 = unpack_w(y0p, 2)
+    size = y0.shape[1:3]
+    s = y0.astype(jnp.float32) + interpolate_bilinear(
+        t1, size=size, align_corners=False).astype(jnp.float32)
+    if t2 is not None:
+        s = s + interpolate_bilinear(
+            t2, size=size, align_corners=False).astype(jnp.float32)
+    s = jnp.where(s >= 0, s, 0.2 * s).astype(y0p.dtype)
+    return pack_w(s, 2) if packed_out else s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_out0(y0p, t1, t2, packed_out=False, interpret=False):
+    """lrelu(unpack(y0p) + up2x(t1) [+ up4x(t2)]), one VMEM pass.
+
+    y0p (B,H,W/2,2C) width-packed branch-0 output; t1 (B,H/2,W/2,C) fuse
+    conv output; t2 (B,H/4,W/4,C) or None.  Returns f2-packed
+    (B,H,W/2,2C) when ``packed_out`` else (B,H,W,C).
+    """
+    return _impl(y0p, t1, t2, packed_out, interpret=interpret)
+
+
+def _fwd(y0p, t1, t2, packed_out, interpret):
+    return fused_out0(y0p, t1, t2, packed_out, interpret), (y0p, t1, t2)
+
+
+def _bwd(packed_out, interpret, res, g):
+    y0p, t1, t2 = res
+    if t2 is None:
+        _, vjp = jax.vjp(lambda a, b: _ref(a, b, None, packed_out), y0p, t1)
+        da, db = vjp(g)
+        return da, db, None
+    _, vjp = jax.vjp(lambda a, b, c_: _ref(a, b, c_, packed_out),
+                     y0p, t1, t2)
+    return vjp(g)
+
+
+fused_out0.defvjp(_fwd, _bwd)

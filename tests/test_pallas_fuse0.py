@@ -1,0 +1,114 @@
+"""Fused stage fuse-out0 kernel (ops/pallas_fuse0.py) vs the XLA
+composition — interpret mode off-TPU: forward (packed/unpacked out, with
+and without the 4x branch), gradients, and the HighResolutionModule wiring
+(stage2 packed-out -> stage3 packed-in) against the plain module."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_video_interpolation_extrapolation_tpu.ops import pallas_fuse0
+from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+    pack_w,
+    unpack_w,
+)
+
+
+def _mk(b=1, h=16, w=64, c=64, with_t2=True, seed=0):
+    rng = np.random.RandomState(seed)
+    y0 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, c)), jnp.float32)
+    t1 = jnp.asarray(rng.uniform(-1, 1, (b, h // 2, w // 2, c)), jnp.float32)
+    t2 = (jnp.asarray(rng.uniform(-1, 1, (b, h // 4, w // 4, c)), jnp.float32)
+          if with_t2 else None)
+    return pack_w(y0, 2), t1, t2
+
+
+@pytest.mark.parametrize("with_t2", [False, True])
+@pytest.mark.parametrize("packed_out", [False, True])
+def test_fused_out0_matches_ref(with_t2, packed_out):
+    y0p, t1, t2 = _mk(with_t2=with_t2)
+    out = pallas_fuse0.fused_out0(y0p, t1, t2, packed_out, True)
+    ref = pallas_fuse0._ref(y0p, t1, t2, packed_out)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_out0_gradients():
+    y0p, t1, t2 = _mk()
+
+    def loss_f(a, b, c):
+        return jnp.sum(pallas_fuse0.fused_out0(a, b, c, False, True) ** 2)
+
+    def loss_r(a, b, c):
+        return jnp.sum(pallas_fuse0._ref(a, b, c, False) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(y0p, t1, t2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(y0p, t1, t2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_module_wiring_stage2_stage3(monkeypatch):
+    """HighResolutionModule with the fuse0 kernel (stage2 emits packed
+    out-0, stage3 consumes it packed) == the plain unfused modules on the
+    same params.  default_backend is faked to 'tpu' and the kernel runs in
+    interpret mode (all TPU-gated paths here are exact math)."""
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import (
+        STAGE2_CFG,
+        STAGE3_CFG,
+        HighResolutionModule,
+        _Transition,
+    )
+
+    from deep_video_interpolation_extrapolation_tpu.ops import pallas_ae_conv
+
+    orig_impl = pallas_fuse0._impl
+    monkeypatch.setattr(
+        pallas_fuse0, "_impl",
+        lambda y0p, t1, t2, po, interpret=False: orig_impl(
+            y0p, t1, t2, po, interpret=True))
+    orig_ae = pallas_ae_conv._impl
+    monkeypatch.setattr(
+        pallas_ae_conv, "_impl",
+        lambda xp, k, res, relu, f=2, interpret=False: orig_ae(
+            xp, k, res, relu, f, interpret=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("DVIE_FUSE0", "1")
+    monkeypatch.setenv("DVIE_FUSED_BLOCK", "0")
+
+    rng = np.random.RandomState(5)
+    xs2 = [jnp.asarray(rng.uniform(-1, 1, (1, 16, 64, 64)), jnp.float32),
+           jnp.asarray(rng.uniform(-1, 1, (1, 8, 32, 128)), jnp.float32)]
+
+    m_plain2 = HighResolutionModule(dtype=jnp.float32, **STAGE2_CFG)
+    m_fuse2 = HighResolutionModule(dtype=jnp.float32, branch0_packed=True,
+                                   fuse0_packed_out=True, **STAGE2_CFG)
+    p2 = m_plain2.init(jax.random.PRNGKey(0), xs2)
+    ref2 = m_plain2.apply(p2, xs2)
+    out2 = m_fuse2.apply(p2, [pack_w(xs2[0], 2), xs2[1]])
+    # stage2 out-0 comes back packed
+    np.testing.assert_allclose(np.asarray(unpack_w(out2[0], 2)),
+                               np.asarray(ref2[0]), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2[1]), np.asarray(ref2[1]),
+                               atol=1e-4, rtol=1e-4)
+
+    # feed stage3 the packed out-0 through an identity transition
+    tr = _Transition(tuple(STAGE2_CFG["num_channels"]),
+                     tuple(STAGE3_CFG["num_channels"]), dtype=jnp.float32)
+    pt = tr.init(jax.random.PRNGKey(1), ref2)
+    ref3_in = tr.apply(pt, ref2)
+    fuse3_in = tr.apply(pt, [out2[0], out2[1]])  # branch0 passes packed
+
+    m_plain3 = HighResolutionModule(dtype=jnp.float32, **STAGE3_CFG)
+    m_fuse3 = HighResolutionModule(dtype=jnp.float32, branch0_packed=True,
+                                   **STAGE3_CFG)
+    p3 = m_plain3.init(jax.random.PRNGKey(2),
+                       [unpack_w(fuse3_in[0], 2)] + list(fuse3_in[1:]))
+    ref3 = m_plain3.apply(p3, ref3_in)
+    out3 = m_fuse3.apply(p3, fuse3_in)
+    for u, v in zip(ref3, out3):   # stage3 out-0 unpacked (head stage)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(u),
+                                   atol=1e-4, rtol=1e-4)
