@@ -68,3 +68,16 @@ def test_dryrun_device_resolution_probes_default():
     with mock.patch.object(jax, "devices", listed_but_broken):
         devs = graft._resolve_dryrun_devices(4)
     assert all(d.platform == "cpu" for d in devs)
+
+
+def test_dryrun_with_tpu_default_backend_simulated(monkeypatch):
+    """The driver's real multichip environment keeps a TPU plugin as the
+    DEFAULT backend while the dryrun places everything on the CPU client.
+    The model's Pallas gates used to key on jax.default_backend() and
+    compiled Pallas calls for the CPU devices ('Only interpret mode is
+    supported on CPU backend').  dryrun_multichip must run with the
+    default backend reporting 'tpu' (it sets DVIE_PALLAS=0 + spatial
+    sharding flags so every fast path takes its XLA composition)."""
+    monkeypatch.delenv("DVIE_PALLAS", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    graft.dryrun_multichip(4)
