@@ -116,3 +116,16 @@ def test_cli_mycycgen(tmp_path):
         assert os.path.exists(seg_pred), seg_pred
         assert np.asarray(__import__("PIL.Image", fromlist=["Image"])
                           .open(seg_pred)).max() < 20
+
+
+def test_cli_train_spatial_sharded(tmp_path):
+    """End-to-end train on a (data x spatial) 2-D mesh: --num_data_shards 2
+    --num_spatial_shards 2 over the virtual 8-device CPU mesh (the TPU
+    full-resolution memory recipe, SURVEY §5.7); the Pallas fast paths
+    auto-fall back under spatial sharding."""
+    cfg = _cfg("--save_dir " + str(tmp_path) +
+               " --num_data_shards 2 --num_spatial_shards 2 "
+               "INTER --model InterNet --train_coarse")
+    run(cfg)
+    logs = glob.glob(str(tmp_path / "*" / "*.log"))
+    assert logs, "experiment log written"
