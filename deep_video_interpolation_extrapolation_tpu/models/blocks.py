@@ -37,7 +37,7 @@ def _ae_or_conv(x, features, f, dtype, spatial_sharded, name=None):
         pallas_enabled,
     )
     if (f == 2 and pallas_enabled() and not spatial_sharded
-            and os.environ.get("DVIE_AE_CONV", "1") != "0"):
+            and os.environ.get("DVIE_AE_CONV", "0") == "1"):
         from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
             conv3x3_packed_ae,
             fits,
@@ -283,7 +283,7 @@ class BasicBlock(nn.Module):
                     return fused_basicblock(x.astype(dt), k1, k2, f)
             if (pallas_enabled() and f == 2
                     and not self.spatial_sharded
-                    and os.environ.get("DVIE_AE_CONV", "1") != "0"):
+                    and os.environ.get("DVIE_AE_CONV", "0") == "1"):
                 from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
                     conv3x3_packed_ae,
                     fits as ae_fits,

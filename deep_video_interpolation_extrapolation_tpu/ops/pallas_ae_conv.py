@@ -19,6 +19,16 @@ BasicBlock tail).  SAME zero padding comes from host-side zero pads —
 exact for a linear conv.  Cross-program double-buffered halo DMA as in
 ops/pallas_resblock.py.  Differentiable via custom_vjp against the XLA
 packed reference.
+
+MEASURED (v5e, full InterNet/HRNet bench @1024x512 bf16 bs8, round 2):
+routed from the BasicBlock branch chains + Bottleneck conv2 + packed
+transitions this kernel is a 29.57 -> 22.31 fps REGRESSION, despite the
+1.33x-vs-2x FLOP win.  Same failure mode as ops/pallas_chain.py: each
+insertion drops row-major {3,2,1,0} Pallas IO into the middle of a
+{3,0,2,1} packed-conv chain, buying two full-size relayout copies per
+call — and this route inserts ~20 of them.  Kept opt-in
+(DVIE_AE_CONV=1); a win here requires whole-chain fusion so the layout
+boundary is paid once per chain, not per conv.
 """
 
 from __future__ import annotations
