@@ -85,6 +85,13 @@ class Conv(nn.Module):
     in_features: Optional[int] = None
     # activations sharded over a spatial mesh axis: Pallas fast paths off
     spatial_sharded: bool = False
+    # input/output tensors are logically (H, W, B, C) instead of
+    # (B, H, W, C).  Row-major (H, W, B, C) is bit-identical to the
+    # {3,0,2,1} physical layout XLA assigns NHWC conv IO on TPU (measured
+    # identical conv speed), so an HWNC chain gives Pallas kernels
+    # (which require default row-major operand layouts) free boundaries —
+    # the transposes into/out of the chain lower to layout bitcasts.
+    hwnc: bool = False
 
     @nn.compact
     def __call__(self, x, *, return_params: bool = False):
@@ -108,6 +115,8 @@ class Conv(nn.Module):
 
         pad = self.padding if self.padding is not None else (self.kernel // 2) * self.dilation
         f = int(self.packed_io)
+        dn = (("HWNC", "HWIO", "HWNC") if self.hwnc
+              else ("NHWC", "HWIO", "NHWC"))
 
         # K-distributed 1x1: a list input means "conv over the channel-concat
         # of these tensors" computed as a sum of per-part 1x1 convs — exactly
@@ -116,6 +125,7 @@ class Conv(nn.Module):
         # identical to the concat form.
         if isinstance(x, (list, tuple)):
             assert self.kernel == 1 and self.stride == 1 and not f
+            assert not self.hwnc
             cin = sum(t.shape[-1] for t in x)
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(),
@@ -165,7 +175,7 @@ class Conv(nn.Module):
                 out = jax.lax.conv_general_dilated(
                     xd, pack_kernel_3x3_stride2_in(kd), (2, 1),
                     ((1, 1), (1, 0)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    dimension_numbers=dn,
                     preferred_element_type=dt)
                 return out + bd if bd is not None else out
             assert self.kernel in (1, 3) and self.stride == 1
@@ -191,7 +201,7 @@ class Conv(nn.Module):
                 kp = pack_kernel_1x1(kd, f)
             out = jax.lax.conv_general_dilated(
                 xd, kp, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                dimension_numbers=dn,
                 preferred_element_type=dt)
             if bd is not None:
                 out = out + jnp.tile(bd, f)
@@ -199,7 +209,7 @@ class Conv(nn.Module):
 
         if self.tapped:
             assert (self.kernel == 3 and self.stride == 1
-                    and self.dilation == 1 and pad == 1)
+                    and self.dilation == 1 and pad == 1 and not self.hwnc)
             from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
                 conv3x3_tapped,
             )
@@ -209,7 +219,7 @@ class Conv(nn.Module):
             xd, kd, (self.stride, self.stride),
             ((pad, pad), (pad, pad)),
             rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=dn,
             preferred_element_type=dt)
         if bd is not None:
             out = out + bd

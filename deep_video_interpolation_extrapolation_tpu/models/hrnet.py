@@ -276,7 +276,9 @@ class _Transition(nn.Module):
         return outs
 
 
-def _layer1_boundary_chain(x: jnp.ndarray, f: int, dtype) -> jnp.ndarray:
+def _layer1_boundary_chain(x: jnp.ndarray, f: int, dtype,
+                           hwnc: bool = False,
+                           interpret: bool = False) -> jnp.ndarray:
     """layer1 with fused block boundaries (must be called from the owning
     module's compact ``__call__``; Bottleneck param names are unchanged).
 
@@ -285,6 +287,14 @@ def _layer1_boundary_chain(x: jnp.ndarray, f: int, dtype) -> jnp.ndarray:
     is one Pallas pass (ops/pallas_chain.py).  Math identical to the
     unfused blocks (f32-acc dots cast to the compute dtype, as the XLA
     packed convs emit).
+
+    ``hwnc=True``: ``x`` is logically (H, W/f, B, f*C) — the HWNC chain
+    form whose row-major layout is bit-identical to the {3,0,2,1}
+    physical layout XLA gives the NHWC packed convs, so the Pallas
+    boundary kernels drop in with zero relayout copies (the losing NHWC
+    A/B — 28.66 -> 27.78 fps — paid two full-size copies per call).
+    ``fused_boundary`` flattens all leading dims to rows, so it is
+    layout-agnostic; only the conv dimension numbers change.
     """
     import functools
 
@@ -303,23 +313,38 @@ def _layer1_boundary_chain(x: jnp.ndarray, f: int, dtype) -> jnp.ndarray:
         blocks.append(blk(None, return_params=True))
 
     dt = dtype or x.dtype
+    dn = ("HWNC", "HWIO", "HWNC") if hwnc else ("NHWC", "HWIO", "NHWC")
     conv = functools.partial(
         jax.lax.conv_general_dilated, window_strides=(1, 1),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=dn,
         preferred_element_type=dt)
     x = x.astype(dt)
+    # whole-tail fusion (conv2 + conv3 + residual + lrelu + next conv1 in
+    # one kernel) is the HWNC default: XLA fuses conv2 into the boundary
+    # fusion on its own, so the boundary-only kernel under-delivers
+    # (see ops/pallas_chain.fused_block).  DVIE_HWNC_V1BOUNDARY=1 selects
+    # the boundary-only form for A/B.
+    import os as _os
+    whole = (hwnc and pallas_chain.block_fits(x)
+             and _os.environ.get("DVIE_HWNC_V1BOUNDARY", "0") != "1")
     h1 = lrelu(conv(x, pack_kernel_1x1(blocks[0][0], f).astype(dt),
                     padding="VALID"))
     for i, (_k1, k2, k3, kres) in enumerate(blocks):
-        h2 = lrelu(conv(h1, pack_kernel_3x3(k2, f).astype(dt),
-                        padding="SAME"))
         k3p = pack_kernel_1x1(k3, f)[0, 0].astype(dt)
         kresp = (pack_kernel_1x1(kres, f)[0, 0].astype(dt)
                  if kres is not None else None)
         k1n = blocks[i + 1][0] if i < len(blocks) - 1 else None
         k1np = (pack_kernel_1x1(k1n, f)[0, 0].astype(dt)
                 if k1n is not None else None)
-        x, h1 = pallas_chain.fused_boundary(h2, x, k3p, kresp, k1np)
+        if whole:
+            x, h1 = pallas_chain.fused_block(
+                h1, x, pack_kernel_3x3(k2, f).astype(dt), k3p, kresp, k1np,
+                interpret)
+        else:
+            h2 = lrelu(conv(h1, pack_kernel_3x3(k2, f).astype(dt),
+                            padding="SAME"))
+            x, h1 = pallas_chain.fused_boundary(h2, x, k3p, kresp, k1np,
+                                                interpret)
     return x
 
 
@@ -346,42 +371,60 @@ class _HRBackbone(nn.Module):
         # exact math (ops/packed_conv.py).  Measured ~1.5x on this chain.
         f = 2 if (jax.default_backend() == "tpu" and x.shape[2] % 2 == 0
                   and x.shape[2] >= 256) else 0
+        import os
+        from deep_video_interpolation_extrapolation_tpu.core.hw import (
+            pallas_enabled as _pe,
+        )
         if f:
             from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
                 pack_w,
                 unpack_w,
             )
             x = pack_w(x, f)
-        # stem (nets/HRNet.py:367-373)
-        x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, name="conv1")(x))
-        x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, name="conv2")(x))
-        # layer1: 4 Bottlenecks 64->256 (nets/HRNet.py:375).
-        # DVIE_CHAIN_BOUNDARY=1 fuses the block BOUNDARIES (conv3 1x1 +
-        # residual + lrelu + next conv1 1x1) into one Pallas pass
-        # (ops/pallas_chain.py).  A/B'd at 8x512x1024 bf16 and OFF by
-        # default: 28.66 -> 27.78 fps (rows=512) / 27.86 (rows=2048) —
-        # the streamed-traffic saving is eaten by relayout copies at the
-        # kernel's IO (Pallas is row-major {3,2,1,0}; the surrounding
-        # packed 3x3 convs run {3,0,2,1}).  Parity pinned by
-        # test_pallas_chain either way.
-        import os
-        from deep_video_interpolation_extrapolation_tpu.core.hw import (
-            pallas_enabled as _pe,
-        )
+        # layer1 boundary fusion (conv3 1x1 + residual + lrelu + next
+        # conv1 1x1 in one Pallas pass, ops/pallas_chain.py) runs in the
+        # HWNC chain form by default: stem + layer1 operate on logical
+        # (H, W/f, B, f*C) tensors whose row-major layout is bit-identical
+        # to the {3,0,2,1} physical layout XLA assigns the NHWC packed
+        # convs (measured identical conv speed), so the kernel's required
+        # row-major IO costs ZERO relayout copies.  The old NHWC insertion
+        # (DVIE_CHAIN_BOUNDARY=1) lost 28.66 -> 27.78 fps paying two
+        # full-size copies per call; entry/exit transposes of the HWNC
+        # region lower to bitcasts.  DVIE_HWNC_L1=0 disables.  Parity
+        # pinned by test_pallas_chain (both forms).
+        use_hwnc = False
         use_chain = False
-        if (f == 2 and _pe() and not self.spatial_sharded
-                and os.environ.get("DVIE_CHAIN_BOUNDARY", "0") == "1"):
+        if f == 2 and _pe() and not self.spatial_sharded:
             from deep_video_interpolation_extrapolation_tpu.ops import (
                 pallas_chain,
             )
-            use_chain = pallas_chain.boundary_fits(x)
-        if use_chain:
-            x = _layer1_boundary_chain(x, f, self.dtype)
+            if pallas_chain.boundary_fits_rows(x):
+                if os.environ.get("DVIE_HWNC_L1", "1") != "0":
+                    use_hwnc = True
+                elif os.environ.get("DVIE_CHAIN_BOUNDARY", "0") == "1":
+                    use_chain = True
+        if use_hwnc:
+            x = jnp.transpose(x, (1, 2, 0, 3))  # (H, W/f, B, f*C)
+            x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, hwnc=True,
+                           name="conv1")(x))
+            x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, hwnc=True,
+                           name="conv2")(x))
+            x = _layer1_boundary_chain(x, f, self.dtype, hwnc=True)
+            x = jnp.transpose(x, (2, 0, 1, 3))  # back to (B, H, W/f, f*C)
         else:
-            for i in range(4):
-                x = Bottleneck(64, dtype=self.dtype, packed_io=f,
-                               spatial_sharded=self.spatial_sharded,
-                               name=f"layer1_{i}")(x)
+            # stem (nets/HRNet.py:367-373)
+            x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f,
+                           name="conv1")(x))
+            x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f,
+                           name="conv2")(x))
+            # layer1: 4 Bottlenecks 64->256 (nets/HRNet.py:375)
+            if use_chain:
+                x = _layer1_boundary_chain(x, f, self.dtype)
+            else:
+                for i in range(4):
+                    x = Bottleneck(64, dtype=self.dtype, packed_io=f,
+                                   spatial_sharded=self.spatial_sharded,
+                                   name=f"layer1_{i}")(x)
 
         # transition1 consumes the packed layer1 output directly: trans_0's
         # 3x3 stays packed (feeding stage2's branch-0 chain with no

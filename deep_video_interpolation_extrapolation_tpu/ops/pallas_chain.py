@@ -80,6 +80,13 @@ def boundary_fits(h2: jnp.ndarray) -> bool:
             and h2.shape[-1] <= 512)
 
 
+def boundary_fits_rows(x: jnp.ndarray) -> bool:
+    """Row-count-only eligibility, for gating BEFORE the stem (whose
+    output always carries f*64 = 128 lanes): the leading three dims'
+    product is unchanged by the stem convs."""
+    return _pick_rows(x.shape[0] * x.shape[1] * x.shape[2]) >= 64
+
+
 def _boundary_impl(h2, x, k3p, kresp, k1np, interpret=False):
     """h2 (B,H,Wp,fP) post-lrelu conv2 output; x (B,H,Wp,fCin) block input.
     k3p (fP, fO), kresp (fCin, fO) or None, k1np (fO, fPn) or None —
@@ -202,3 +209,218 @@ def _fb_bwd(interpret, res, g):
 
 
 fused_boundary.defvjp(_fb_fwd, _fb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused_block: the whole Bottleneck tail in one pass (HWNC form).
+#
+# Measured round 2: replacing only the 1x1 boundaries (fused_boundary)
+# under-delivers because XLA was ALREADY fusing each layer1 conv2 into the
+# conv3+residual fusion (trace: 897-GFLOP compare_select_fusions at
+# ~122 TF/s) — unfusing conv2 into its own op gave back most of the
+# boundary win (29.57 -> 29.94 fps only).  This kernel therefore computes
+#
+#     h2  = lrelu(conv3x3_packed(h1))            (9 row-shifted dots)
+#     y   = lrelu(h2 @ K3 + residual)            residual = x @ Kres or x
+#     h1n = lrelu(y @ K1_next)                   (omitted at the tail)
+#
+# in ONE pass over (H, W2, B, C) HWNC tiles: h2 never touches HBM, x and
+# h1 stream in once, y/h1n stream out once.  The 3x3's H halo comes from
+# passing h1 THREE times at block offsets i-1/i/i+1 (clamped; edge rows
+# zeroed in-kernel) — h1 is the thin 128-lane tensor, so the 3x traffic
+# costs ~1 GB/block while avoiding manual halo DMA entirely.  W shifts
+# are free row-dim slices in the HWNC layout (W2 is an untiled major
+# dim), with zero-fill at the borders matching SAME padding.
+# ---------------------------------------------------------------------------
+
+
+def _shift_w(a, s):
+    """SAME-padding W-shift on (th, W2, B, C): result[:, w] = a[:, w+s]
+    with zeros shifted in at the border (s in {-1, 0, +1})."""
+    if s == 0:
+        return a
+    z = jnp.zeros_like(a[:, :1])
+    if s == 1:
+        return jnp.concatenate([a[:, 1:], z], axis=1)
+    return jnp.concatenate([z, a[:, :-1]], axis=1)
+
+
+def _block_kernel(h1p_ref, h1c_ref, h1n_ref, x_ref, k2_ref, k3_ref,
+                  kres_ref, k1n_ref, *out_refs, has_res, has_next,
+                  n_blocks):
+    i = pl.program_id(0)
+    th, w2, b, fp = h1c_ref.shape
+    cur = h1c_ref[...]
+    # window rows h-1 .. h+th: one row each from the prev/next tiles,
+    # zeroed at the physical H borders (SAME padding)
+    top = jnp.where((i > 0).reshape((1,) * 4), h1p_ref[...][-1:], 0.0)
+    bot = jnp.where((i < n_blocks - 1).reshape((1,) * 4),
+                    h1n_ref[...][:1], 0.0)
+    win = jnp.concatenate([top, cur, bot], axis=0)  # (th+2, w2, b, fp)
+
+    k2 = k2_ref[...]  # (3, 3, fp, fp) packed taps
+    m = th * w2 * b
+    acc = None
+    for ky in range(3):
+        rows = win[ky:ky + th]
+        for kx in range(3):
+            op = _shift_w(rows, kx - 1).reshape(m, fp)
+            d = jax.lax.dot_general(op, k2[ky, kx], _DN2,
+                                    preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    h2 = _lrelu_f32cmp(acc.astype(cur.dtype))
+
+    out = jax.lax.dot_general(
+        h2, k3_ref[...], _DN2,
+        preferred_element_type=jnp.float32).astype(cur.dtype)
+    x = x_ref[...].reshape(m, x_ref.shape[-1])
+    if has_res:
+        out = out + jax.lax.dot_general(
+            x, kres_ref[...], _DN2,
+            preferred_element_type=jnp.float32).astype(cur.dtype)
+    else:
+        out = out + x
+    out = _lrelu_f32cmp(out)
+    fo = out.shape[-1]
+    out_refs[0][...] = out.reshape(th, w2, b, fo)
+    if has_next:
+        h1o = jax.lax.dot_general(
+            out, k1n_ref[...], _DN2,
+            preferred_element_type=jnp.float32).astype(cur.dtype)
+        out_refs[1][...] = _lrelu_f32cmp(h1o).reshape(
+            th, w2, b, k1n_ref.shape[-1])
+
+
+def _pick_th(h: int) -> int:
+    import os
+
+    order = (2, 4, 8, 1)
+    env = os.environ.get("DVIE_BLOCK_TH")
+    if env:
+        order = (int(env),) + order
+    for th in order:
+        if th and h % th == 0 and h // th >= 2:
+            return th
+    return 0
+
+
+def block_fits(h1: jnp.ndarray) -> bool:
+    h, w2, b, fp = h1.shape
+    return (_pick_th(h) > 0 and fp % 128 == 0 and fp <= 512
+            and (w2 * b * _pick_th(h)) % 8 == 0)
+
+
+def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False):
+    """h1 (H, W2, B, fP) post-lrelu conv1 output; x (H, W2, B, fCin);
+    k2p (3, 3, fP, fP) packed 3x3 taps (ops/packed_conv.pack_kernel_3x3);
+    k3p (fP, fO); kresp (fCin, fO) | None; k1np (fO, fPn) | None.
+    Returns (y, h1_next | None)."""
+    h, w2, b, fp = h1.shape
+    th = _pick_th(h)
+    n_blocks = h // th
+    fo = k3p.shape[1]
+    dt = h1.dtype
+    has_res = kresp is not None
+    has_next = k1np is not None
+
+    kres_in = kresp if has_res else jnp.zeros((x.shape[-1], fo), dt)
+    k1n_in = k1np if has_next else jnp.zeros((fo, 128), dt)
+
+    kern = functools.partial(_block_kernel, has_res=has_res,
+                             has_next=has_next, n_blocks=n_blocks)
+
+    def tile(c, offset):
+        return pl.BlockSpec(
+            (th, w2, b, c),
+            lambda i, o=offset: (jnp.clip(i + o, 0, n_blocks - 1), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_specs = [tile(fo, 0)]
+    out_shape = [jax.ShapeDtypeStruct((h, w2, b, fo), dt)]
+    if has_next:
+        fpn = k1np.shape[1]
+        out_specs.append(tile(fpn, 0))
+        out_shape.append(jax.ShapeDtypeStruct((h, w2, b, fpn), dt))
+    # the fat 512-lane x/y tiles exceed the default 16 MB scoped-VMEM
+    # budget once BlockSpec double-buffers them; raise the per-kernel
+    # limit (v5e has 128 MB VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[tile(fp, -1), tile(fp, 0), tile(fp, +1),
+                  tile(x.shape[-1], 0), w_spec, w_spec, w_spec, w_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        **kwargs,
+    )(h1, h1, h1, x, k2p.astype(dt), k3p.astype(dt),
+      kres_in.astype(dt), k1n_in.astype(dt))
+    if has_next:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def _block_ref(h1, x, k2p, k3p, kresp, k1np):
+    """XLA reference (identical rounding: f32-acc convs/dots, bf16 after
+    each), HWNC dimension numbers."""
+    dt = h1.dtype
+    # conv in f32 on upcast inputs == bf16 conv with f32 accumulation
+    # (bf16 products are exact in f32), and keeps the VJP dtype-clean
+    # (conv's transpose rule rejects mixed bf16/f32 from
+    # preferred_element_type upcasting)
+    h2 = jax.lax.conv_general_dilated(
+        h1.astype(jnp.float32), k2p.astype(jnp.float32), (1, 1), "SAME",
+        dimension_numbers=("HWNC", "HWIO", "HWNC")).astype(dt)
+    h2 = jnp.where(h2 >= 0, h2, jnp.asarray(0.2, dt) * h2)
+    return _boundary_ref(h2, x, k3p, kresp, k1np)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_block(h1, x, k2p, k3p, kresp, k1np, interpret=False):
+    """Fused conv2 + Bottleneck boundary on HWNC tiles; see above."""
+    return _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=interpret)
+
+
+def _blk_fwd(h1, x, k2p, k3p, kresp, k1np, interpret):
+    return (fused_block(h1, x, k2p, k3p, kresp, k1np, interpret),
+            (h1, x, k2p, k3p, kresp, k1np))
+
+
+def _blk_bwd(interpret, res, g):
+    h1, x, k2p, k3p, kresp, k1np = res
+    gy, gh1 = g
+    args = [h1, x, k2p, k3p]
+    if kresp is not None:
+        args.append(kresp)
+    if k1np is not None:
+        args.append(k1np)
+
+    def ref(*a):
+        i = 4
+        kr = a[i] if kresp is not None else None
+        i += 1 if kresp is not None else 0
+        kn = a[i] if k1np is not None else None
+        y, h1n = _block_ref(a[0], a[1], a[2], a[3], kr, kn)
+        if h1n is None:
+            return (y,)
+        return (y, h1n)
+
+    outs, vjp = jax.vjp(ref, *args)
+    cts = (gy,) if k1np is None else (gy, gh1)
+    grads = list(vjp(cts))
+    dh1, dx, dk2, dk3 = grads[0], grads[1], grads[2], grads[3]
+    i = 4
+    dkres = None
+    if kresp is not None:
+        dkres = grads[i]
+        i += 1
+    dk1n = grads[i] if k1np is not None else None
+    return dh1, dx, dk2, dk3, dkres, dk1n
+
+
+fused_block.defvjp(_blk_fwd, _blk_bwd)
