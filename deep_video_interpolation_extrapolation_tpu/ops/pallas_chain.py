@@ -245,39 +245,33 @@ def _shift_w(a, s):
     return jnp.concatenate([z, a[:, :-1]], axis=1)
 
 
-def _block_kernel(h1p_ref, h1c_ref, h1n_ref, x_ref, k2_ref, k3_ref,
-                  kres_ref, k1n_ref, *out_refs, has_res, has_next,
-                  n_blocks):
-    i = pl.program_id(0)
-    th, w2, b, fp = h1c_ref.shape
-    cur = h1c_ref[...]
-    # window rows h-1 .. h+th: one row each from the prev/next tiles,
-    # zeroed at the physical H borders (SAME padding)
-    top = jnp.where((i > 0).reshape((1,) * 4), h1p_ref[...][-1:], 0.0)
-    bot = jnp.where((i < n_blocks - 1).reshape((1,) * 4),
-                    h1n_ref[...][:1], 0.0)
-    win = jnp.concatenate([top, cur, bot], axis=0)  # (th+2, w2, b, fp)
-
+def _block_compute(row_slices, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
+                   out_refs, *, has_res, has_next):
+    """Shared fused-block math: ``row_slices(ky) -> (th, w2, b, fp)``
+    yields the conv2 operand rows for tap row ky (already border-zeroed)."""
     k2 = k2_ref[...]  # (3, 3, fp, fp) packed taps
+    th, w2, b, _ = out_refs[0].shape
     m = th * w2 * b
+    dt = out_refs[0].dtype
     acc = None
     for ky in range(3):
-        rows = win[ky:ky + th]
+        rows = row_slices(ky)
+        fp = rows.shape[-1]
         for kx in range(3):
             op = _shift_w(rows, kx - 1).reshape(m, fp)
             d = jax.lax.dot_general(op, k2[ky, kx], _DN2,
                                     preferred_element_type=jnp.float32)
             acc = d if acc is None else acc + d
-    h2 = _lrelu_f32cmp(acc.astype(cur.dtype))
+    h2 = _lrelu_f32cmp(acc.astype(dt))
 
     out = jax.lax.dot_general(
         h2, k3_ref[...], _DN2,
-        preferred_element_type=jnp.float32).astype(cur.dtype)
+        preferred_element_type=jnp.float32).astype(dt)
     x = x_ref[...].reshape(m, x_ref.shape[-1])
     if has_res:
         out = out + jax.lax.dot_general(
             x, kres_ref[...], _DN2,
-            preferred_element_type=jnp.float32).astype(cur.dtype)
+            preferred_element_type=jnp.float32).astype(dt)
     else:
         out = out + x
     out = _lrelu_f32cmp(out)
@@ -286,9 +280,85 @@ def _block_kernel(h1p_ref, h1c_ref, h1n_ref, x_ref, k2_ref, k3_ref,
     if has_next:
         h1o = jax.lax.dot_general(
             out, k1n_ref[...], _DN2,
-            preferred_element_type=jnp.float32).astype(cur.dtype)
+            preferred_element_type=jnp.float32).astype(dt)
         out_refs[1][...] = _lrelu_f32cmp(h1o).reshape(
             th, w2, b, k1n_ref.shape[-1])
+
+
+def _block_kernel(h1p_ref, h1c_ref, h1n_ref, x_ref, k2_ref, k3_ref,
+                  kres_ref, k1n_ref, *out_refs, has_res, has_next,
+                  n_blocks):
+    i = pl.program_id(0)
+    th = h1c_ref.shape[0]
+    cur = h1c_ref[...]
+    # window rows h-1 .. h+th: one row each from the prev/next tiles,
+    # zeroed at the physical H borders (SAME padding)
+    top = jnp.where((i > 0).reshape((1,) * 4), h1p_ref[...][-1:], 0.0)
+    bot = jnp.where((i < n_blocks - 1).reshape((1,) * 4),
+                    h1n_ref[...][:1], 0.0)
+    win = jnp.concatenate([top, cur, bot], axis=0)  # (th+2, w2, b, fp)
+    _block_compute(lambda ky: win[ky:ky + th], x_ref, k2_ref, k3_ref,
+                   kres_ref, k1n_ref, out_refs,
+                   has_res=has_res, has_next=has_next)
+
+
+def _block_kernel_dma(h1_ref, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
+                      *rest, has_res, has_next, n_blocks, th):
+    """fused_block with the h1 halo window DMA'd cross-program
+    double-buffered (program i starts i+1's copy) instead of the 3-view
+    BlockSpecs: h1 HBM traffic drops from 3x to (th+2)/th, and H is an
+    untiled row dim so the window slices need no alignment."""
+    n_out = 2 if has_next else 1
+    out_refs = rest[:n_out]
+    scr, sems = rest[n_out], rest[n_out + 1]
+    i = pl.program_id(0)
+    h = n_blocks * th
+
+    # three static-size copies per window: the th-row body plus two 1-row
+    # halos with border-clamped starts (the clamped duplicate rows are
+    # exactly the ones zero-masked below, so the clamp never leaks)
+    def copies(slot, q):
+        s = q * th
+        return (
+            pltpu.make_async_copy(
+                h1_ref.at[pl.ds(s, th)],
+                scr.at[slot, pl.ds(1, th)], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                h1_ref.at[pl.ds(jnp.clip(s - 1, 0, h - 1), 1)],
+                scr.at[slot, pl.ds(0, 1)], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                h1_ref.at[pl.ds(jnp.clip(s + th, 0, h - 1), 1)],
+                scr.at[slot, pl.ds(th + 1, 1)], sems.at[slot, 2]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for c in copies((i + 1) % 2, i + 1):
+            c.start()
+
+    for c in copies(i % 2, i):
+        c.wait()
+    win = scr[i % 2]                       # (th+2, w2, b, fp)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1, 1), 0)
+
+    def row_slices(ky):
+        rows = win[ky:ky + th]
+        if ky == 0:
+            # output row 0's dy=-1 input is global row -1 at the top edge
+            rows = jnp.where((i == 0) & (row_iota == 0), 0.0, rows)
+        if ky == 2:
+            rows = jnp.where((i == n_blocks - 1) & (row_iota == th - 1),
+                             0.0, rows)
+        return rows
+
+    _block_compute(row_slices, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
+                   out_refs, has_res=has_res, has_next=has_next)
 
 
 def _pick_th(h: int) -> int:
@@ -326,8 +396,8 @@ def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False):
     kres_in = kresp if has_res else jnp.zeros((x.shape[-1], fo), dt)
     k1n_in = k1np if has_next else jnp.zeros((fo, 128), dt)
 
-    kern = functools.partial(_block_kernel, has_res=has_res,
-                             has_next=has_next, n_blocks=n_blocks)
+    import os
+    use_dma = os.environ.get("DVIE_BLOCK_DMA", "1") != "0"
 
     def tile(c, offset):
         return pl.BlockSpec(
@@ -348,17 +418,33 @@ def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False):
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+            vmem_limit_bytes=116 * 1024 * 1024)
+    if use_dma:
+        kern = functools.partial(_block_kernel_dma, has_res=has_res,
+                                 has_next=has_next, n_blocks=n_blocks,
+                                 th=th)
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY), tile(x.shape[-1], 0),
+                    w_spec, w_spec, w_spec, w_spec]
+        kwargs["scratch_shapes"] = [
+            pltpu.VMEM((2, th + 2, w2, b, fp), dt),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
+        args = (h1,)
+    else:
+        kern = functools.partial(_block_kernel, has_res=has_res,
+                                 has_next=has_next, n_blocks=n_blocks)
+        in_specs = [tile(fp, -1), tile(fp, 0), tile(fp, +1),
+                    tile(x.shape[-1], 0), w_spec, w_spec, w_spec, w_spec]
+        args = (h1, h1, h1)
     outs = pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[tile(fp, -1), tile(fp, 0), tile(fp, +1),
-                  tile(x.shape[-1], 0), w_spec, w_spec, w_spec, w_spec],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=interpret,
         **kwargs,
-    )(h1, h1, h1, x, k2p.astype(dt), k3p.astype(dt),
+    )(*args, x, k2p.astype(dt), k3p.astype(dt),
       kres_in.astype(dt), k1n_in.astype(dt))
     if has_next:
         return outs[0], outs[1]
