@@ -78,6 +78,13 @@ def init_variables(cfg: Config, rng, batch) -> Dict:
     ('coarse_model', 'track_gen_model', '<family>_model'), the tree layout
     ``make_train_step`` consumes (mirrors the reference's per-submodel
     modules inside InterGANNet, nets/InterGANNet.py:10-26).
+
+    Deliberately does NOT apply the DCGAN N(0, 0.02) ``gan_weights_init``:
+    the reference only calls ``weights_init`` in the legacy GAN head
+    (nets/GAN.py:32-33) — InterGANNet and its discriminators use torch's
+    default per-module init, which Flax defaults approximate here.  The
+    DCGAN init is applied exactly where the reference applies it, in the
+    legacy GAN trainer (train/legacy.py).
     """
     x, seg, gt_x, gt_seg = get_inter_inputs(batch)
     bboxes = batch.get("bboxes")
