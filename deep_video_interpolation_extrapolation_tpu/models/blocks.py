@@ -37,6 +37,24 @@ def _ae_or_conv(x, features, f, dtype, spatial_sharded, name=None):
         pallas_enabled,
     )
     if (f == 2 and pallas_enabled() and not spatial_sharded
+            and os.environ.get("DVIE_AE_HWNC", "1") != "0"):
+        # HWNC A+E kernel: logical (H, Wp, B, fC) row-major matches the
+        # {3,0,2,1} physical layout of the surrounding packed convs, so
+        # the transposes lower to bitcasts and the kernel pays zero
+        # relayouts (the NHWC insert below lost 7 fps to exactly those)
+        from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
+            conv3x3_packed_ae_hwnc,
+            hwnc_fits,
+        )
+        xh = jnp.transpose(x, (1, 2, 0, 3))
+        if hwnc_fits(xh, f):
+            k, _ = Conv(features, 3, use_bias=False, dtype=dtype,
+                        in_features=x.shape[-1] // f, name=name
+                        )(None, return_params=True)
+            dt = dtype or x.dtype
+            out = conv3x3_packed_ae_hwnc(xh.astype(dt), k, None, True, f)
+            return jnp.transpose(out, (2, 0, 1, 3))
+    if (f == 2 and pallas_enabled() and not spatial_sharded
             and os.environ.get("DVIE_AE_CONV", "0") == "1"):
         from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
             conv3x3_packed_ae,
@@ -291,6 +309,28 @@ class BasicBlock(nn.Module):
                                  in_features=c)(None, return_params=True)
                     dt = self.dtype or x.dtype
                     return fused_basicblock(x.astype(dt), k1, k2, f)
+            if (pallas_enabled() and f == 2
+                    and not self.spatial_sharded
+                    and os.environ.get("DVIE_AE_HWNC", "1") != "0"):
+                from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
+                    conv3x3_packed_ae_hwnc,
+                    hwnc_fits,
+                )
+                xh = jnp.transpose(x, (1, 2, 0, 3))  # free bitcast, see Conv.hwnc
+                if hwnc_fits(xh, f):
+                    # per-conv HWNC A+E kernels (1.33x nominal MXU FLOPs vs
+                    # the dense-packed 2x wall) with residual/lrelu fused;
+                    # zero boundary relayouts in the {3,0,2,1} chain
+                    c = self.features
+                    k1, _ = Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=c)(None, return_params=True)
+                    k2, _ = Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=c)(None, return_params=True)
+                    dt = self.dtype or x.dtype
+                    xh = xh.astype(dt)
+                    h = conv3x3_packed_ae_hwnc(xh, k1, None, True, f)
+                    y = conv3x3_packed_ae_hwnc(h, k2, xh, True, f)
+                    return jnp.transpose(y, (2, 0, 1, 3))
             if (pallas_enabled() and f == 2
                     and not self.spatial_sharded
                     and os.environ.get("DVIE_AE_CONV", "0") == "1"):

@@ -177,6 +177,19 @@ class HighResolutionModule(nn.Module):
                     t2 = Conv(self.num_channels[0], 1, padding=0,
                               use_bias=False, dtype=self.dtype,
                               name="fuse_0_2")(ys[2])
+                if (self.fuse0_packed_out
+                        and _os.environ.get("DVIE_FUSE0_HWNC", "1") != "0"):
+                    # packed-out stage boundary: the HWNC f2 kernel keeps
+                    # branch-0 in the chain's {3,0,2,1} physical layout end
+                    # to end — the NHWC/f4 form pays ~5 ms of retile copies
+                    # here at 8x512x1024 bf16 (ops/pallas_fuse0.py)
+                    hw = lambda a: jnp.transpose(a, (1, 2, 0, 3))
+                    y0h = hw(y0_packed_t)
+                    if pallas_fuse0.fits_hwnc(y0h, hw(t1)):
+                        out_h = pallas_fuse0.fused_out0_hwnc(
+                            y0h, hw(t1), None if t2 is None else hw(t2))
+                        outs.append(jnp.transpose(out_h, (2, 0, 1, 3)))
+                        continue
                 outs.append(pallas_fuse0.fused_out0(
                     y0_packed_t, t1, t2, self.fuse0_packed_out))
                 continue

@@ -205,3 +205,205 @@ def _bwd(relu, f, interpret, resid, g):
 
 
 conv3x3_packed_ae.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# HWNC variant: the round-2 fix for the relayout failure documented above.
+#
+# Logical (H, Wp, B, fC) row-major is bit-identical to the {3,0,2,1}
+# physical layout XLA assigns the NHWC packed-conv chains (the
+# ops/pallas_chain.py discovery), so dropping this kernel between two such
+# convs costs ZERO boundary copies — the per-conv insert that regressed
+# 29.57 -> 22.31 fps in NHWC becomes a pure padded-FLOP win (6 vs 9
+# (fC x fO) dots per cell).  Full-width tiles: W shifts are free slices of
+# the untiled cell dim with zero fill (the conv's SAME padding), and the
+# H halo arrives via the cross-program double-buffered body+2x1-row DMA of
+# ops/pallas_chain._block_kernel_dma (clamped rows zero-masked in-kernel).
+# ---------------------------------------------------------------------------
+
+
+_DN2 = (((1,), (0,)), ((), ()))
+
+
+def _shift_cells(a, s):
+    """SAME-padding W-shift on (th, Wp, B, C): result[:, w] = a[:, w+s]
+    with zeros at the border (s in {-1, +1})."""
+    z = jnp.zeros_like(a[:, :1])
+    if s == 1:
+        return jnp.concatenate([a[:, 1:], z], axis=1)
+    return jnp.concatenate([z, a[:, :-1]], axis=1)
+
+
+def _hwnc_kernel(x_ref, a_ref, e_ref, res_ref, *rest, th, n_blocks,
+                 split, relu, has_res):
+    out_ref = rest[0]
+    scr, sems = rest[1], rest[2]
+    i = pl.program_id(0)
+    h = n_blocks * th
+
+    def copies(slot, q):
+        s = q * th
+        return (
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(s, th)],
+                scr.at[slot, pl.ds(1, th)], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(jnp.clip(s - 1, 0, h - 1), 1)],
+                scr.at[slot, pl.ds(0, 1)], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                x_ref.at[pl.ds(jnp.clip(s + th, 0, h - 1), 1)],
+                scr.at[slot, pl.ds(th + 1, 1)], sems.at[slot, 2]),
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        for c in copies((i + 1) % 2, i + 1):
+            c.start()
+
+    for c in copies(i % 2, i):
+        c.wait()
+    win = scr[i % 2]                          # (th+2, Wp, B, fC)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (th, 1, 1, 1), 0)
+    th_, wp, b, fc = th, win.shape[1], win.shape[2], win.shape[3]
+    m = th_ * wp * b
+    a = a_ref[...]                            # (3, fC, fO)
+    e = e_ref[...]                            # (3, fC, fO)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, fc), 3)
+    acc = None
+    for ky in range(3):
+        rows = win[ky:ky + th]
+        # clamped halo rows duplicate the border row; the duplicates are
+        # exactly the out-of-image taps — zero them (SAME zero padding)
+        if ky == 0:
+            rows = jnp.where((i == 0) & (row_iota == 0), 0.0, rows)
+        if ky == 2:
+            rows = jnp.where((i == n_blocks - 1) & (row_iota == th - 1),
+                             0.0, rows)
+        d = jax.lax.dot_general(rows.reshape(m, fc), a[ky], _DN2,
+                                preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+        # E operand: lanes [split:] carry the PREV cell's rows, lanes
+        # [:split] the NEXT cell's (matching _edge_kernel's block layout)
+        msel = jnp.where(lane >= split, _shift_cells(rows, -1),
+                         _shift_cells(rows, 1))
+        acc = acc + jax.lax.dot_general(msel.reshape(m, fc), e[ky], _DN2,
+                                        preferred_element_type=jnp.float32)
+    fo = a.shape[-1]
+    out = acc.astype(out_ref.dtype).reshape(th_, wp, b, fo)
+    if has_res:
+        out = out + res_ref[...]
+    if relu:
+        out = jnp.where(out.astype(jnp.float32) >= 0, out,
+                        jnp.asarray(0.2, out.dtype) * out)
+    out_ref[...] = out
+
+
+def _pick_th(h: int) -> int:
+    import os
+
+    order = (4, 2, 8, 1)
+    env = os.environ.get("DVIE_AE_TH")
+    if env:
+        order = (int(env),) + order
+    for th in order:
+        if th and h % th == 0 and h // th >= 2:
+            return th
+    return 0
+
+
+def hwnc_fits(x: jnp.ndarray, f: int = 2) -> bool:
+    """x logical (H, Wp, B, fC)."""
+    h, wp, b, fc = x.shape
+    return (f == 2 and fc % 128 == 0 and _pick_th(h) > 0
+            and (wp * b * _pick_th(h)) % 8 == 0)
+
+
+def _impl_hwnc(x, k, res, relu, f=2, interpret=False):
+    h, wp, b, fc = x.shape
+    th = _pick_th(h)
+    n_blocks = h // th
+    dt = x.dtype
+    fo = f * k.shape[3]
+    ka, _ = ae_kernels_3x3(k, f)
+    a = ka[:, 0].astype(dt)
+    e = _edge_kernel(k, f).astype(dt)
+    has_res = res is not None
+    res_in = res if has_res else jnp.zeros((1, 1, 1, fo), dt)
+
+    kern = functools.partial(
+        _hwnc_kernel, th=th, n_blocks=n_blocks,
+        split=(f - 1) * k.shape[2], relu=relu, has_res=has_res)
+
+    def tile(c):
+        return pl.BlockSpec((th, wp, b, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, w_spec,
+                  tile(fo) if has_res else w_spec],
+        out_specs=tile(fo),
+        out_shape=jax.ShapeDtypeStruct((h, wp, b, fo), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp, b, fc), dt),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(x, a, e, res_in)
+
+
+def _ref_hwnc(x, k, res, relu, f=2):
+    dt = x.dtype
+    out = jax.lax.conv_general_dilated(
+        x, pack_kernel_3x3(k, f).astype(dt), (1, 1), "SAME",
+        dimension_numbers=("HWNC", "HWIO", "HWNC"),
+        preferred_element_type=dt)
+    if res is not None:
+        out = out + res
+    if relu:
+        out = jnp.where(out >= 0, out, jnp.asarray(0.2, dt) * out)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3x3_packed_ae_hwnc(x, k, res=None, relu=False, f=2,
+                           interpret=False):
+    """Width-packed 3x3 SAME conv in HWNC form (+ residual + leaky-ReLU).
+
+    x (H, Wp, B, f*C) logical — row-major-identical to the {3,0,2,1}
+    physical layout of the surrounding NHWC packed convs, so boundaries
+    are free; k (3, 3, C, O) logical HWIO; res (H, Wp, B, f*O) or None.
+    A+E decomposition: 6 instead of 9 (fC x fO) dots per packed cell.
+    """
+    return _impl_hwnc(x, k, res, relu, f, interpret)
+
+
+def _fwd_hwnc(x, k, res, relu, f, interpret):
+    return (conv3x3_packed_ae_hwnc(x, k, res, relu, f, interpret),
+            (x, k, res))
+
+
+def _bwd_hwnc(relu, f, interpret, resid, g):
+    x, k, res = resid
+    if res is None:
+        _, vjp = jax.vjp(lambda a, b: _ref_hwnc(a, b, None, relu, f), x, k)
+        da, db = vjp(g)
+        return da, db, None
+    _, vjp = jax.vjp(lambda a, b, r: _ref_hwnc(a, b, r, relu, f), x, k, res)
+    return vjp(g)
+
+
+conv3x3_packed_ae_hwnc.defvjp(_fwd_hwnc, _bwd_hwnc)

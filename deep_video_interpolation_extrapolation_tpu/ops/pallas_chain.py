@@ -246,9 +246,19 @@ def _shift_w(a, s):
 
 
 def _block_compute(row_slices, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
-                   out_refs, *, has_res, has_next):
+                   out_refs, *, has_res, has_next, ae=False):
     """Shared fused-block math: ``row_slices(ky) -> (th, w2, b, fp)``
-    yields the conv2 operand rows for tap row ky (already border-zeroed)."""
+    yields the conv2 operand rows for tap row ky (already border-zeroed).
+
+    ``ae=True`` computes conv2 via the A+E split (6 instead of 9
+    (fp x fp) dots — ops/pallas_ae_conv.py): at f=2 the packed kernel's
+    center tap k2p[ky, 1] IS the dense A matrix, and k2p[ky, 0] +
+    k2p[ky, 2] (disjoint nonzero blocks) IS the E matrix whose operand
+    mixes the prev cell's rows in the upper lane half with the next
+    cell's in the lower half.  Only valid when k2_ref carries the
+    structured zeros of ops/packed_conv.pack_kernel_3x3 (as every real
+    caller does) — an arbitrary dense (3, 3, fp, fp) kernel would lose
+    its cross-phase cross-cell coefficients."""
     k2 = k2_ref[...]  # (3, 3, fp, fp) packed taps
     th, w2, b, _ = out_refs[0].shape
     m = th * w2 * b
@@ -257,6 +267,18 @@ def _block_compute(row_slices, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
     for ky in range(3):
         rows = row_slices(ky)
         fp = rows.shape[-1]
+        if ae:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, fp), 3)
+            d = jax.lax.dot_general(
+                rows.reshape(m, fp), k2[ky, 1], _DN2,
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+            msel = jnp.where(lane >= fp // 2, _shift_w(rows, -1),
+                             _shift_w(rows, 1))
+            acc = acc + jax.lax.dot_general(
+                msel.reshape(m, fp), k2[ky, 0] + k2[ky, 2], _DN2,
+                preferred_element_type=jnp.float32)
+            continue
         for kx in range(3):
             op = _shift_w(rows, kx - 1).reshape(m, fp)
             d = jax.lax.dot_general(op, k2[ky, kx], _DN2,
@@ -287,7 +309,7 @@ def _block_compute(row_slices, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
 
 def _block_kernel(h1p_ref, h1c_ref, h1n_ref, x_ref, k2_ref, k3_ref,
                   kres_ref, k1n_ref, *out_refs, has_res, has_next,
-                  n_blocks):
+                  n_blocks, ae=False):
     i = pl.program_id(0)
     th = h1c_ref.shape[0]
     cur = h1c_ref[...]
@@ -299,11 +321,11 @@ def _block_kernel(h1p_ref, h1c_ref, h1n_ref, x_ref, k2_ref, k3_ref,
     win = jnp.concatenate([top, cur, bot], axis=0)  # (th+2, w2, b, fp)
     _block_compute(lambda ky: win[ky:ky + th], x_ref, k2_ref, k3_ref,
                    kres_ref, k1n_ref, out_refs,
-                   has_res=has_res, has_next=has_next)
+                   has_res=has_res, has_next=has_next, ae=ae)
 
 
 def _block_kernel_dma(h1_ref, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
-                      *rest, has_res, has_next, n_blocks, th):
+                      *rest, has_res, has_next, n_blocks, th, ae=False):
     """fused_block with the h1 halo window DMA'd cross-program
     double-buffered (program i starts i+1's copy) instead of the 3-view
     BlockSpecs: h1 HBM traffic drops from 3x to (th+2)/th, and H is an
@@ -358,7 +380,7 @@ def _block_kernel_dma(h1_ref, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
         return rows
 
     _block_compute(row_slices, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
-                   out_refs, has_res=has_res, has_next=has_next)
+                   out_refs, has_res=has_res, has_next=has_next, ae=ae)
 
 
 def _pick_th(h: int) -> int:
@@ -398,6 +420,10 @@ def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False):
 
     import os
     use_dma = os.environ.get("DVIE_BLOCK_DMA", "1") != "0"
+    # conv2 via the A+E split (6 vs 9 (fp x fp) dots; see _block_compute).
+    # Exact same products, f32-accumulated in a different order.
+    # A/B on TPU @8x512x1024 bf16: 33.93 (off) vs 34.07 fps (on).
+    ae = os.environ.get("DVIE_BLOCK_AE", "1") != "0"
 
     def tile(c, offset):
         return pl.BlockSpec(
@@ -422,7 +448,7 @@ def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False):
     if use_dma:
         kern = functools.partial(_block_kernel_dma, has_res=has_res,
                                  has_next=has_next, n_blocks=n_blocks,
-                                 th=th)
+                                 th=th, ae=ae)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY), tile(x.shape[-1], 0),
                     w_spec, w_spec, w_spec, w_spec]
         kwargs["scratch_shapes"] = [
@@ -432,7 +458,8 @@ def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False):
         args = (h1,)
     else:
         kern = functools.partial(_block_kernel, has_res=has_res,
-                                 has_next=has_next, n_blocks=n_blocks)
+                                 has_next=has_next, n_blocks=n_blocks,
+                                 ae=ae)
         in_specs = [tile(fp, -1), tile(fp, 0), tile(fp, +1),
                     tile(x.shape[-1], 0), w_spec, w_spec, w_spec, w_spec]
         args = (h1, h1, h1)

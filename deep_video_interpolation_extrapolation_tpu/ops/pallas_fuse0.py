@@ -240,3 +240,195 @@ def _bwd(packed_out, interpret, res, g):
 
 
 fused_out0.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# HWNC f2 variant (stage2 -> stage3 boundary).
+#
+# The NHWC/f4 kernel above pays three retile copies at 8x512x1024 bf16:
+# its y0 input needs {3,0,2,1} -> {3,2,1,0} (~1.6 ms), the host f2->f4
+# view retiles 128 -> 256 lanes (~1.7 ms), and the packed output retiles
+# back f4 -> f2 for the next stage's chain (~1.6 ms).  In logical
+# (H, W2, B, C) form every boundary is bit-identical to the {3,0,2,1}
+# physical layout of the producing/consuming packed convs, and the kernel
+# stays in f2 the whole way: out cell i maps 1:1 to t1 column i (lanes =
+# [even-px C | odd-px C]), so the x2 phase blends are plain lane concats
+# of W-shifted t1 rows, and the x4 blends use a host-side column-repeat
+# view of t2 plus a cell-parity select.  Upsampling's edge clamp falls out
+# of the halo DMA's row clamping — no host pads at all.
+# ---------------------------------------------------------------------------
+
+
+def _edge_shift(a, s):
+    """Edge-clamped W-shift on (rows, W, B, C): result[:, w] = a[:, w+s]
+    with the border column duplicated (align_corners=False clamp)."""
+    if s == 1:
+        return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    return jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+
+
+def _kernel_hwnc(y0_ref, t1_ref, t2_ref, out_ref, *,
+                 th: int, n_blocks: int, has_t2: bool):
+    # t1/t2 arrive as host-materialized overlapping row windows through
+    # pipelined BlockSpecs: manual DMA of the 64-lane tensors is rejected
+    # by Mosaic ("Slice shape along dimension 3 must be aligned to tiling
+    # (128), but is 64" — the same constraint that shaped the NHWC
+    # kernel's t2 path), and the windows' edge-clamped halo rows ARE the
+    # bilinear edge clamp.
+    v1 = t1_ref[0].astype(jnp.float32)        # (th/2+2, W2, B, C)
+    rows = []
+    for r in range(th):
+        a = r // 2 + 1
+        if r % 2 == 0:
+            rows.append(0.25 * v1[a - 1] + 0.75 * v1[a])
+        else:
+            rows.append(0.75 * v1[a] + 0.25 * v1[a + 1])
+    u1 = jnp.stack(rows)                      # (th, W2, B, C) row-blended
+    # out cell i lanes [0:C] = even px 2i <- 0.25*t1[i-1] + 0.75*t1[i];
+    # lanes [C:2C] = odd px 2i+1 <- 0.75*t1[i] + 0.25*t1[i+1]
+    acc = jnp.concatenate([
+        0.25 * _edge_shift(u1, -1) + 0.75 * u1,
+        0.75 * u1 + 0.25 * _edge_shift(u1, 1),
+    ], axis=-1)                               # (th, W2, B, 2C) f2
+
+    if has_t2:
+        v2 = t2_ref[0].astype(jnp.float32)    # (th/4+2, W2, B, C) col-repeated
+        rows = []
+        wts = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125),
+               (0.625, 0.375))
+        for r in range(th):
+            a = r // 4 + 1
+            w_lo, w_hi = wts[r % 4]
+            if r % 4 < 2:
+                rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
+            else:
+                rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
+        u2 = jnp.stack(rows)                  # (th, W2, B, C)
+        sm1 = _edge_shift(u2, -1)
+        sp1 = _edge_shift(u2, 1)
+        # rep[i] = t2[i//2]: even cell i holds phases (0,1) of source col
+        # i/2, odd holds (2,3) of (i-1)/2 — select blends by cell parity
+        even = (jax.lax.broadcasted_iota(
+            jnp.int32, (1, u2.shape[1], 1, 1), 1) % 2) == 0
+        acc = acc + jnp.concatenate([
+            jnp.where(even, 0.375 * sm1 + 0.625 * u2,
+                      0.875 * u2 + 0.125 * sp1),
+            jnp.where(even, 0.125 * sm1 + 0.875 * u2,
+                      0.625 * u2 + 0.375 * sp1),
+        ], axis=-1)
+
+    acc = acc + y0_ref[...].astype(jnp.float32)
+    acc = jnp.where(acc >= 0, acc, 0.2 * acc)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def _pick_th_hwnc(h: int) -> int:
+    import os
+
+    order = (4, 8, 16)
+    env = os.environ.get("DVIE_FUSE0_TH")
+    if env:
+        order = (int(env),) + order
+    for th in order:
+        if th % 4 == 0 and h % th == 0 and h // th >= 2:
+            return th
+    return 0
+
+
+def fits_hwnc(y0: jnp.ndarray, t1: jnp.ndarray) -> bool:
+    """y0 logical (H, W2, B, 2C) f2; t1 (H/2, W/2, B, C)."""
+    h, w2, b, c2 = y0.shape
+    return (c2 % 128 == 0 and _pick_th_hwnc(h) > 0
+            and t1.shape[:3] == (h // 2, w2, b)
+            and t1.shape[3] == c2 // 2)
+
+
+def _impl_hwnc(y0, t1, t2, interpret=False):
+    h, w2, b, c2 = y0.shape
+    c = c2 // 2
+    th = _pick_th_hwnc(h)
+    n_blocks = h // th
+    dt = y0.dtype
+    has_t2 = t2 is not None
+
+    if has_t2:
+        # rep[i] = t2[i//2]: a contiguous row-major view (B, C minor are
+        # untouched), so XLA lowers it to a cheap broadcast
+        h4, w4 = t2.shape[0], t2.shape[1]
+        rep = jnp.broadcast_to(t2[:, :, None], (h4, w4, 2, b, c)
+                               ).reshape(h4, 2 * w4, b, c)
+    else:
+        rep = jnp.zeros((h // 4, w2, b, c), dt)
+
+    def windows(src, rows_per):
+        """(R, W2, B, C) -> (n_blocks, rows_per+2, W2, B, C) overlapping
+        row windows, edge-duplicated halos (STATIC slices + stack — a
+        dynamic_slice gather lowers catastrophically)."""
+        srcp = jnp.concatenate([src[:1], src, src[-1:]], axis=0)
+        return jnp.stack([
+            jax.lax.slice_in_dim(srcp, q * rows_per,
+                                 q * rows_per + rows_per + 2, axis=0)
+            for q in range(n_blocks)])
+
+    t1w = windows(t1.astype(dt), th // 2)
+    t2w = windows(rep.astype(dt), th // 4)
+
+    kern = functools.partial(_kernel_hwnc, th=th, n_blocks=n_blocks,
+                             has_t2=has_t2)
+
+    def tile(cc):
+        return pl.BlockSpec((th, w2, b, cc), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(rows):
+        return pl.BlockSpec((1, rows + 2, w2, b, c),
+                            lambda i: (i, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[tile(c2), wspec(th // 2), wspec(th // 4)],
+        out_specs=tile(c2),
+        out_shape=jax.ShapeDtypeStruct((h, w2, b, c2), dt),
+        interpret=interpret,
+        **kwargs,
+    )(y0.astype(dt), t1w, t2w)
+
+
+def _ref_hwnc(y0, t1, t2):
+    """XLA reference through the (free) HWNC<->NHWC transposes."""
+    to_n = lambda a: jnp.transpose(a, (2, 0, 1, 3))
+    out = _ref(to_n(y0), to_n(t1), None if t2 is None else to_n(t2), True)
+    return jnp.transpose(out, (1, 2, 0, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_out0_hwnc(y0, t1, t2, interpret=False):
+    """lrelu(y0 + up2x(t1) [+ up4x(t2)]) on HWNC f2 tiles; see above.
+
+    y0 (H, W2, B, 2C) f2-packed HWNC; t1 (H/2, W/2, B, C);
+    t2 (H/4, W/4, B, C) or None.  Returns f2-packed (H, W2, B, 2C).
+    """
+    return _impl_hwnc(y0, t1, t2, interpret=interpret)
+
+
+def _fwd_hwnc(y0, t1, t2, interpret):
+    return fused_out0_hwnc(y0, t1, t2, interpret), (y0, t1, t2)
+
+
+def _bwd_hwnc(interpret, res, g):
+    y0, t1, t2 = res
+    if t2 is None:
+        _, vjp = jax.vjp(lambda a, b: _ref_hwnc(a, b, None), y0, t1)
+        da, db = vjp(g)
+        return da, db, None
+    _, vjp = jax.vjp(_ref_hwnc, y0, t1, t2)
+    return vjp(g)
+
+
+fused_out0_hwnc.defvjp(_fwd_hwnc, _bwd_hwnc)

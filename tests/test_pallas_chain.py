@@ -242,6 +242,29 @@ def test_fused_block_matches_ref(has_res, has_next):
         assert h1n is None and h1nr is None
 
 
+@pytest.mark.parametrize("dma", ["0", "1"])
+def test_fused_block_ae_matches_ref(dma, monkeypatch):
+    """DVIE_BLOCK_AE=1: conv2 via the A+E split (valid only for
+    pack_kernel_3x3-structured kernels) == the dense-tap reference."""
+    monkeypatch.setenv("DVIE_BLOCK_AE", "1")
+    monkeypatch.setenv("DVIE_BLOCK_DMA", dma)
+    rng = np.random.RandomState(31)
+    h, w2, b, fp, fo = 8, 16, 2, 128, 256
+    h1 = jnp.asarray(rng.uniform(-1, 1, (h, w2, b, fp)), jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (h, w2, b, fo)), jnp.float32)
+    k2 = pack_kernel_3x3(
+        jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3, 64, 64)), jnp.float32), 2)
+    k3 = jnp.asarray(rng.uniform(-0.2, 0.2, (fp, fo)), jnp.float32)
+    k1n = jnp.asarray(rng.uniform(-0.2, 0.2, (fo, fp)), jnp.float32)
+
+    y, h1n = pallas_chain.fused_block(h1, x, k2, k3, None, k1n, True)
+    yr, h1nr = pallas_chain._block_ref(h1, x, k2, k3, None, k1n)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(h1n), np.asarray(h1nr),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_fused_block_gradients_match():
     rng = np.random.RandomState(22)
     h, w2, b, fp, fo = 8, 8, 1, 128, 256

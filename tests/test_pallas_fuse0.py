@@ -51,6 +51,42 @@ def test_fused_out0_gradients():
                                    atol=1e-4, rtol=1e-4)
 
 
+def _hw(a):
+    return jnp.transpose(a, (1, 2, 0, 3))
+
+
+@pytest.mark.parametrize("with_t2", [False, True])
+def test_fused_out0_hwnc_matches_ref(with_t2):
+    y0p, t1, t2 = _mk(b=2, with_t2=with_t2)
+    t2h = None if t2 is None else _hw(t2)
+    out = pallas_fuse0.fused_out0_hwnc(_hw(y0p), _hw(t1), t2h, True)
+    ref = pallas_fuse0._ref_hwnc(_hw(y0p), _hw(t1), t2h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # ... and against the NHWC kernel's packed output through the
+    # transposes (same math, different tiling)
+    packed = pallas_fuse0.fused_out0(y0p, t1, t2, True, True)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(out, (2, 0, 1, 3))),
+                               np.asarray(packed), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_out0_hwnc_gradients():
+    y0p, t1, t2 = _mk(b=2)
+    a, b, c = _hw(y0p), _hw(t1), _hw(t2)
+
+    def lf(a, b, c):
+        return jnp.sum(pallas_fuse0.fused_out0_hwnc(a, b, c, True) ** 2)
+
+    def lr(a, b, c):
+        return jnp.sum(pallas_fuse0._ref_hwnc(a, b, c) ** 2)
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(a, b, c)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(a, b, c)
+    for u, v in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_module_wiring_stage2_stage3(monkeypatch):
     """HighResolutionModule with the fuse0 kernel (stage2 emits packed
     out-0, stage3 consumes it packed) == the plain unfused modules on the
@@ -70,11 +106,21 @@ def test_module_wiring_stage2_stage3(monkeypatch):
         pallas_fuse0, "_impl",
         lambda y0p, t1, t2, po, interpret=False: orig_impl(
             y0p, t1, t2, po, interpret=True))
+    orig_impl_h = pallas_fuse0._impl_hwnc
+    monkeypatch.setattr(
+        pallas_fuse0, "_impl_hwnc",
+        lambda y0, t1, t2, interpret=False: orig_impl_h(
+            y0, t1, t2, interpret=True))
     orig_ae = pallas_ae_conv._impl
     monkeypatch.setattr(
         pallas_ae_conv, "_impl",
         lambda xp, k, res, relu, f=2, interpret=False: orig_ae(
             xp, k, res, relu, f, interpret=True))
+    orig_hwnc = pallas_ae_conv._impl_hwnc
+    monkeypatch.setattr(
+        pallas_ae_conv, "_impl_hwnc",
+        lambda x, k, res, relu, f=2, interpret=False: orig_hwnc(
+            x, k, res, relu, f, interpret=True))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("DVIE_FUSE0", "1")
     monkeypatch.setenv("DVIE_FUSED_BLOCK", "0")
