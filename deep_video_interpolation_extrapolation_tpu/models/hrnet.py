@@ -340,6 +340,10 @@ def _layer1_boundary_chain(x: jnp.ndarray, f: int, dtype,
     import os as _os
     whole = (hwnc and pallas_chain.block_fits(x)
              and _os.environ.get("DVIE_HWNC_V1BOUNDARY", "0") != "1")
+    # conv2 A+E split inside the fused block: exact only because every k2
+    # here comes from pack_kernel_3x3 (structured zeros), so the env gate
+    # lives at THIS call site, not inside the kernel (33.93 -> 34.07 fps).
+    block_ae = _os.environ.get("DVIE_BLOCK_AE", "1") != "0"
     h1 = lrelu(conv(x, pack_kernel_1x1(blocks[0][0], f).astype(dt),
                     padding="VALID"))
     for i, (_k1, k2, k3, kres) in enumerate(blocks):
@@ -352,7 +356,7 @@ def _layer1_boundary_chain(x: jnp.ndarray, f: int, dtype,
         if whole:
             x, h1 = pallas_chain.fused_block(
                 h1, x, pack_kernel_3x3(k2, f).astype(dt), k3p, kresp, k1np,
-                interpret)
+                interpret, block_ae)
         else:
             h2 = lrelu(conv(h1, pack_kernel_3x3(k2, f).astype(dt),
                             padding="SAME"))

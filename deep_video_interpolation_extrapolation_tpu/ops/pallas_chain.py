@@ -402,11 +402,17 @@ def block_fits(h1: jnp.ndarray) -> bool:
             and (w2 * b * _pick_th(h)) % 8 == 0)
 
 
-def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False):
+def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False, ae=False):
     """h1 (H, W2, B, fP) post-lrelu conv1 output; x (H, W2, B, fCin);
     k2p (3, 3, fP, fP) packed 3x3 taps (ops/packed_conv.pack_kernel_3x3);
     k3p (fP, fO); kresp (fCin, fO) | None; k1np (fO, fPn) | None.
-    Returns (y, h1_next | None)."""
+    Returns (y, h1_next | None).
+
+    ``ae=True`` computes conv2 via the A+E split (6 vs 9 (fp x fp) dots;
+    see _block_compute) — exact ONLY for k2p carrying pack_kernel_3x3's
+    structured zeros, so callers must opt in where that holds (the model
+    call site gates on DVIE_BLOCK_AE; A/B on TPU @8x512x1024 bf16:
+    33.93 off vs 34.07 fps on)."""
     h, w2, b, fp = h1.shape
     th = _pick_th(h)
     n_blocks = h // th
@@ -420,10 +426,6 @@ def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False):
 
     import os
     use_dma = os.environ.get("DVIE_BLOCK_DMA", "1") != "0"
-    # conv2 via the A+E split (6 vs 9 (fp x fp) dots; see _block_compute).
-    # Exact same products, f32-accumulated in a different order.
-    # A/B on TPU @8x512x1024 bf16: 33.93 (off) vs 34.07 fps (on).
-    ae = os.environ.get("DVIE_BLOCK_AE", "1") != "0"
 
     def tile(c, offset):
         return pl.BlockSpec(
@@ -493,18 +495,22 @@ def _block_ref(h1, x, k2p, k3p, kresp, k1np):
     return _boundary_ref(h2, x, k3p, kresp, k1np)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_block(h1, x, k2p, k3p, kresp, k1np, interpret=False):
-    """Fused conv2 + Bottleneck boundary on HWNC tiles; see above."""
-    return _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_block(h1, x, k2p, k3p, kresp, k1np, interpret=False, ae=False):
+    """Fused conv2 + Bottleneck boundary on HWNC tiles; see above.
+
+    ``ae=True`` is exact only for pack_kernel_3x3-structured k2p
+    (see _block_impl)."""
+    return _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=interpret,
+                       ae=ae)
 
 
-def _blk_fwd(h1, x, k2p, k3p, kresp, k1np, interpret):
-    return (fused_block(h1, x, k2p, k3p, kresp, k1np, interpret),
+def _blk_fwd(h1, x, k2p, k3p, kresp, k1np, interpret, ae):
+    return (fused_block(h1, x, k2p, k3p, kresp, k1np, interpret, ae),
             (h1, x, k2p, k3p, kresp, k1np))
 
 
-def _blk_bwd(interpret, res, g):
+def _blk_bwd(interpret, ae, res, g):
     h1, x, k2p, k3p, kresp, k1np = res
     gy, gh1 = g
     args = [h1, x, k2p, k3p]

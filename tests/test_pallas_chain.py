@@ -244,9 +244,8 @@ def test_fused_block_matches_ref(has_res, has_next):
 
 @pytest.mark.parametrize("dma", ["0", "1"])
 def test_fused_block_ae_matches_ref(dma, monkeypatch):
-    """DVIE_BLOCK_AE=1: conv2 via the A+E split (valid only for
+    """ae=True: conv2 via the A+E split (valid only for
     pack_kernel_3x3-structured kernels) == the dense-tap reference."""
-    monkeypatch.setenv("DVIE_BLOCK_AE", "1")
     monkeypatch.setenv("DVIE_BLOCK_DMA", dma)
     rng = np.random.RandomState(31)
     h, w2, b, fp, fo = 8, 16, 2, 128, 256
@@ -257,11 +256,29 @@ def test_fused_block_ae_matches_ref(dma, monkeypatch):
     k3 = jnp.asarray(rng.uniform(-0.2, 0.2, (fp, fo)), jnp.float32)
     k1n = jnp.asarray(rng.uniform(-0.2, 0.2, (fo, fp)), jnp.float32)
 
-    y, h1n = pallas_chain.fused_block(h1, x, k2, k3, None, k1n, True)
+    y, h1n = pallas_chain.fused_block(h1, x, k2, k3, None, k1n, True, True)
     yr, h1nr = pallas_chain._block_ref(h1, x, k2, k3, None, k1n)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(h1n), np.asarray(h1nr),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_block_ae_requires_packed_structure():
+    """ae=True on a dense (unpacked) k2 must NOT be silently applied by
+    the default path: fused_block(ae=False) handles arbitrary kernels,
+    and the regression here is the env gate leaking into the generic
+    API (caught on 2026-08-17: DVIE_BLOCK_AE default-on inside the
+    kernel broke dense-kernel callers)."""
+    rng = np.random.RandomState(33)
+    h, w2, b, fp, fo = 8, 8, 1, 128, 256
+    h1 = jnp.asarray(rng.uniform(-1, 1, (h, w2, b, fp)), jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (h, w2, b, fo)), jnp.float32)
+    k2 = jnp.asarray(rng.uniform(-0.2, 0.2, (3, 3, fp, fp)), jnp.float32)
+    k3 = jnp.asarray(rng.uniform(-0.2, 0.2, (fp, fo)), jnp.float32)
+    y, _ = pallas_chain.fused_block(h1, x, k2, k3, None, None, True)
+    yr, _ = pallas_chain._block_ref(h1, x, k2, k3, None, None)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
                                atol=2e-5, rtol=2e-5)
 
 
