@@ -311,6 +311,26 @@ class BasicBlock(nn.Module):
                     return fused_basicblock(x.astype(dt), k1, k2, f)
             if (pallas_enabled() and f == 2
                     and not self.spatial_sharded
+                    and os.environ.get("DVIE_BB_FUSED", "0") == "1"):
+                from deep_video_interpolation_extrapolation_tpu.ops.pallas_bb import (
+                    bb_fits,
+                    fused_basicblock_hwnc,
+                )
+                xh = jnp.transpose(x, (1, 2, 0, 3))
+                if bb_fits(xh, f):
+                    # whole block in one HWNC VMEM pass: h1 never touches
+                    # HBM (conv1 recomputes a 1-row halo), both convs A+E
+                    # (ops/pallas_bb.py); default-off pending TPU A/B
+                    c = self.features
+                    k1, _ = Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=c)(None, return_params=True)
+                    k2, _ = Conv(c, 3, use_bias=False, dtype=self.dtype,
+                                 in_features=c)(None, return_params=True)
+                    dt = self.dtype or x.dtype
+                    y = fused_basicblock_hwnc(xh.astype(dt), k1, k2, f)
+                    return jnp.transpose(y, (2, 0, 1, 3))
+            if (pallas_enabled() and f == 2
+                    and not self.spatial_sharded
                     and os.environ.get("DVIE_AE_HWNC", "1") != "0"):
                 from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
                     conv3x3_packed_ae_hwnc,
