@@ -424,8 +424,27 @@ class _HRBackbone(nn.Module):
             x = jnp.transpose(x, (1, 2, 0, 3))  # (H, W/f, B, f*C)
             x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, hwnc=True,
                            name="conv1")(x))
-            x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f, hwnc=True,
-                           name="conv2")(x))
+            # stem conv2 (64->64, bias=True, nets/HRNet.py:370) is a
+            # dense-packed 2x-FLOP wall; the A+E kernel runs it at 1.33x
+            # with the bias+lrelu fused.  conv1 stays dense: its K =
+            # f*14 pads to 128 either way and A+E would pay that pad in
+            # TWO dots.  Opt-in pending TPU A/B (DVIE_AE_STEM=1).
+            stem_ae = os.environ.get("DVIE_AE_STEM", "0") == "1"
+            if stem_ae:
+                from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
+                    conv3x3_packed_ae_hwnc,
+                    hwnc_fits,
+                )
+                stem_ae = hwnc_fits(x, f)
+            if stem_ae:
+                k2s, b2s = Conv(64, 3, dtype=self.dtype, in_features=64,
+                                name="conv2")(None, return_params=True)
+                x = conv3x3_packed_ae_hwnc(
+                    x.astype(self.dtype or x.dtype), k2s, None, True, f,
+                    False, b2s)
+            else:
+                x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f,
+                               hwnc=True, name="conv2")(x))
             x = _layer1_boundary_chain(x, f, self.dtype, hwnc=True)
             x = jnp.transpose(x, (2, 0, 1, 3))  # back to (B, H, W/f, f*C)
         else:

@@ -235,9 +235,14 @@ def _shift_cells(a, s):
 
 
 def _hwnc_kernel(x_ref, a_ref, e_ref, res_ref, *rest, th, n_blocks,
-                 split, relu, has_res):
-    out_ref = rest[0]
-    scr, sems = rest[1], rest[2]
+                 split, relu, has_res, has_bias=False):
+    if has_bias:
+        bias_ref, out_ref = rest[0], rest[1]
+        scr, sems = rest[2], rest[3]
+    else:
+        bias_ref = None
+        out_ref = rest[0]
+        scr, sems = rest[1], rest[2]
     i = pl.program_id(0)
     h = n_blocks * th
 
@@ -295,6 +300,8 @@ def _hwnc_kernel(x_ref, a_ref, e_ref, res_ref, *rest, th, n_blocks,
         acc = acc + jax.lax.dot_general(msel.reshape(m, fc), e[ky], _DN2,
                                         preferred_element_type=jnp.float32)
     fo = a.shape[-1]
+    if has_bias:
+        acc = acc + bias_ref[...].astype(jnp.float32)
     out = acc.astype(out_ref.dtype).reshape(th_, wp, b, fo)
     if has_res:
         out = out + res_ref[...]
@@ -324,7 +331,7 @@ def hwnc_fits(x: jnp.ndarray, f: int = 2) -> bool:
             and (wp * b * _pick_th(h)) % 8 == 0)
 
 
-def _impl_hwnc(x, k, res, relu, f=2, interpret=False):
+def _impl_hwnc(x, k, res, relu, f=2, interpret=False, bias=None):
     h, wp, b, fc = x.shape
     th = _pick_th(h)
     n_blocks = h // th
@@ -334,11 +341,13 @@ def _impl_hwnc(x, k, res, relu, f=2, interpret=False):
     a = ka[:, 0].astype(dt)
     e = _edge_kernel(k, f).astype(dt)
     has_res = res is not None
+    has_bias = bias is not None
     res_in = res if has_res else jnp.zeros((1, 1, 1, fo), dt)
 
     kern = functools.partial(
         _hwnc_kernel, th=th, n_blocks=n_blocks,
-        split=(f - 1) * k.shape[2], relu=relu, has_res=has_res)
+        split=(f - 1) * k.shape[2], relu=relu, has_res=has_res,
+        has_bias=has_bias)
 
     def tile(c):
         return pl.BlockSpec((th, wp, b, c), lambda i: (i, 0, 0, 0),
@@ -349,11 +358,18 @@ def _impl_hwnc(x, k, res, relu, f=2, interpret=False):
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=116 * 1024 * 1024)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), w_spec, w_spec,
+                tile(fo) if has_res else w_spec]
+    args = [x, a, e, res_in]
+    if has_bias:
+        # bias tiles as (1, fO), packed to the f phases; appended only
+        # when present so bias-free callers keep their exact signature
+        in_specs.append(w_spec)
+        args.append(jnp.tile(bias.reshape(1, -1), (1, f)).astype(dt))
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), w_spec, w_spec,
-                  tile(fo) if has_res else w_spec],
+        in_specs=in_specs,
         out_specs=tile(fo),
         out_shape=jax.ShapeDtypeStruct((h, wp, b, fo), dt),
         scratch_shapes=[
@@ -362,15 +378,17 @@ def _impl_hwnc(x, k, res, relu, f=2, interpret=False):
         ],
         interpret=interpret,
         **kwargs,
-    )(x, a, e, res_in)
+    )(*args)
 
 
-def _ref_hwnc(x, k, res, relu, f=2):
+def _ref_hwnc(x, k, res, relu, f=2, bias=None):
     dt = x.dtype
     out = jax.lax.conv_general_dilated(
         x, pack_kernel_3x3(k, f).astype(dt), (1, 1), "SAME",
         dimension_numbers=("HWNC", "HWIO", "HWNC"),
         preferred_element_type=dt)
+    if bias is not None:
+        out = out + jnp.tile(bias.reshape(1, -1), (1, f)).astype(dt)
     if res is not None:
         out = out + res
     if relu:
@@ -380,30 +398,44 @@ def _ref_hwnc(x, k, res, relu, f=2):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def conv3x3_packed_ae_hwnc(x, k, res=None, relu=False, f=2,
-                           interpret=False):
+                           interpret=False, bias=None):
     """Width-packed 3x3 SAME conv in HWNC form (+ residual + leaky-ReLU).
 
     x (H, Wp, B, f*C) logical — row-major-identical to the {3,0,2,1}
     physical layout of the surrounding NHWC packed convs, so boundaries
-    are free; k (3, 3, C, O) logical HWIO; res (H, Wp, B, f*O) or None.
-    A+E decomposition: 6 instead of 9 (fC x fO) dots per packed cell.
+    are free; k (3, 3, C, O) logical HWIO; res (H, Wp, B, f*O) or None;
+    bias (O,) or None (added before the residual/lrelu, the stem-conv
+    form).  A+E decomposition: 6 instead of 9 (fC x fO) dots per cell.
     """
-    return _impl_hwnc(x, k, res, relu, f, interpret)
+    return _impl_hwnc(x, k, res, relu, f, interpret, bias)
 
 
-def _fwd_hwnc(x, k, res, relu, f, interpret):
-    return (conv3x3_packed_ae_hwnc(x, k, res, relu, f, interpret),
-            (x, k, res))
+def _fwd_hwnc(x, k, res, relu, f, interpret, bias):
+    return (conv3x3_packed_ae_hwnc(x, k, res, relu, f, interpret, bias),
+            (x, k, res, bias))
 
 
 def _bwd_hwnc(relu, f, interpret, resid, g):
-    x, k, res = resid
-    if res is None:
-        _, vjp = jax.vjp(lambda a, b: _ref_hwnc(a, b, None, relu, f), x, k)
-        da, db = vjp(g)
-        return da, db, None
-    _, vjp = jax.vjp(lambda a, b, r: _ref_hwnc(a, b, r, relu, f), x, k, res)
-    return vjp(g)
+    x, k, res, bias = resid
+    args = [x, k] + [a for a in (res, bias) if a is not None]
+
+    def ref(*a):
+        i = 2
+        r = a[i] if res is not None else None
+        i += 1 if res is not None else 0
+        bi = a[i] if bias is not None else None
+        return _ref_hwnc(a[0], a[1], r, relu, f, bias=bi)
+
+    _, vjp = jax.vjp(ref, *args)
+    grads = list(vjp(g))
+    dx, dk = grads[0], grads[1]
+    i = 2
+    dres = None
+    if res is not None:
+        dres = grads[i]
+        i += 1
+    dbias = grads[i] if bias is not None else None
+    return dx, dk, dres, dbias
 
 
 conv3x3_packed_ae_hwnc.defvjp(_fwd_hwnc, _bwd_hwnc)

@@ -155,8 +155,8 @@ def test_basicblock_hwnc_composition(monkeypatch):
     orig = pallas_ae_conv._impl_hwnc
     monkeypatch.setattr(
         pallas_ae_conv, "_impl_hwnc",
-        lambda x, k, res, relu, f=2, interpret=False: orig(
-            x, k, res, relu, f, interpret=True))
+        lambda x, k, res, relu, f=2, interpret=False, bias=None: orig(
+            x, k, res, relu, f, True, bias))
 
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 256, 64)), jnp.float32)
@@ -184,8 +184,8 @@ def test_transition_hwnc_composition(monkeypatch):
     orig = pallas_ae_conv._impl_hwnc
     monkeypatch.setattr(
         pallas_ae_conv, "_impl_hwnc",
-        lambda x, k, res, relu, f=2, interpret=False: orig(
-            x, k, res, relu, f, interpret=True))
+        lambda x, k, res, relu, f=2, interpret=False, bias=None: orig(
+            x, k, res, relu, f, True, bias))
 
     rng = np.random.RandomState(6)
     x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 256, 256)), jnp.float32)
@@ -203,3 +203,85 @@ def test_transition_hwnc_composition(monkeypatch):
     for a, b in zip(out, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_ae_hwnc_bias_matches_packed_ref(relu):
+    """bias mode (the stem-conv form): added before residual/lrelu."""
+    x, k, res = _mk_hwnc(seed=7)
+    rng = np.random.RandomState(8)
+    bias = jnp.asarray(rng.uniform(-0.5, 0.5, (k.shape[3],)), jnp.float32)
+    out = pallas_ae_conv.conv3x3_packed_ae_hwnc(x, k, res, relu, 2, True,
+                                                bias)
+    ref = pallas_ae_conv._ref_hwnc(x, k, res, relu, 2, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_ae_hwnc_bias_gradients():
+    x, k, _ = _mk_hwnc(seed=9)
+    rng = np.random.RandomState(10)
+    bias = jnp.asarray(rng.uniform(-0.5, 0.5, (k.shape[3],)), jnp.float32)
+
+    def lf(a, b, bi):
+        return jnp.sum(pallas_ae_conv.conv3x3_packed_ae_hwnc(
+            a, b, None, True, 2, True, bi) ** 2)
+
+    def lr(a, b, bi):
+        return jnp.sum(pallas_ae_conv._ref_hwnc(
+            a, b, None, True, 2, bias=bi) ** 2)
+
+    gf = jax.grad(lf, argnums=(0, 1, 2))(x, k, bias)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x, k, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_stem_ae_composition(monkeypatch):
+    """DVIE_AE_STEM=1: the backbone's stem conv2 AE route (inside the
+    HWNC stem+layer1 region) == the HWNC stem without it, on the same
+    params (identical param tree)."""
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import (
+        _HRBackbone,
+    )
+    from deep_video_interpolation_extrapolation_tpu.ops import pallas_chain
+
+    orig = pallas_ae_conv._impl_hwnc
+    monkeypatch.setattr(
+        pallas_ae_conv, "_impl_hwnc",
+        lambda x, k, res, relu, f=2, interpret=False, bias=None: orig(
+            x, k, res, relu, f, True, bias))
+    # the HWNC layer1 region also runs chain kernels — interpret them too
+    ob = pallas_chain._block_impl
+    monkeypatch.setattr(
+        pallas_chain, "_block_impl",
+        lambda h1, x, k2p, k3p, kresp, k1np, interpret=False, ae=False: ob(
+            h1, x, k2p, k3p, kresp, k1np, True, ae))
+    of = pallas_chain._boundary_impl
+    monkeypatch.setattr(
+        pallas_chain, "_boundary_impl",
+        lambda h2, x, k3p, kresp, k1np, interpret=False: of(
+            h2, x, k3p, kresp, k1np, True))
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 256, 14)), jnp.float32)
+    bb = _HRBackbone(dtype=jnp.float32)
+
+    import jax as _jax
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    # keep the non-stem kernel routes fixed across the A/B
+    monkeypatch.setenv("DVIE_AE_HWNC", "0")
+    monkeypatch.setenv("DVIE_FUSE0", "0")
+
+    monkeypatch.setenv("DVIE_AE_STEM", "0")
+    v = bb.init(jax.random.PRNGKey(0), x)
+    ref = bb.apply(v, x)
+
+    monkeypatch.setenv("DVIE_AE_STEM", "1")
+    v2 = bb.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v2)
+            == jax.tree_util.tree_structure(v))
+    out = bb.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
