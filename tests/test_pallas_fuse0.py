@@ -119,8 +119,8 @@ def test_module_wiring_stage2_stage3(monkeypatch):
     orig_hwnc = pallas_ae_conv._impl_hwnc
     monkeypatch.setattr(
         pallas_ae_conv, "_impl_hwnc",
-        lambda x, k, res, relu, f=2, interpret=False: orig_hwnc(
-            x, k, res, relu, f, interpret=True))
+        lambda x, k, res, relu, f=2, interpret=False, bias=None: orig_hwnc(
+            x, k, res, relu, f, True, bias))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("DVIE_FUSE0", "1")
     monkeypatch.setenv("DVIE_FUSED_BLOCK", "0")
