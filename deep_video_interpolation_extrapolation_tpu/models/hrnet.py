@@ -606,10 +606,20 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
                 (w2s, b2s) = seg_head.conv2_params()
                 dt = parts[0].dtype
                 w2t = build_dual_tap_kernel(w2r, w2s, dt)
-                yt = pallas_upshead.ups_head_taps(*parts, w1, b1, w2t)
                 co = rgb_head.out_dim + seg_head.out_dim
+                b2 = jnp.concatenate([b2r, b2s])
+                # folded variant: shifted-add + bias in-kernel, the
+                # 9*co-lane tap tensor never leaves VMEM (opt-in pending
+                # the TPU lane-roll probe + A/B; ops/pallas_upshead.py)
+                if (os.environ.get("DVIE_UPSHEAD_FOLD", "0") == "1"
+                        and pallas_upshead.fits_fold(*parts)):
+                    out = pallas_upshead.ups_head_taps_fold(
+                        *parts, w1, b1, w2t, b2)
+                    return (out[..., :rgb_head.out_dim],
+                            out[..., rgb_head.out_dim:])
+                yt = pallas_upshead.ups_head_taps(*parts, w1, b1, w2t)
                 out = taps_shifted_add(yt, co)
-                out = out + jnp.concatenate([b2r, b2s]).astype(dt)
+                out = out + b2.astype(dt)
                 return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
             h = pallas_upshead.ups_head_1x1(*parts, w1, b1)
             return rgb_head(None, h1=h[..., :cin]), seg_head(None, h1=h[..., cin:])

@@ -334,3 +334,279 @@ def fits(p0, p1, p2) -> bool:
             and p2.shape[1:3] == (h // 4, w // 4)
             and p1.shape[-1] % 128 == 0 and p2.shape[-1] % 128 == 0
             and (h // 4) >= 2)
+
+
+# ---------------------------------------------------------------------------
+# Folded-taps variant: the 9-way shifted add + bias runs IN-KERNEL, so the
+# (B, H, W, 9*co) tap tensor never touches HBM (at the bench head shape
+# that round trip is ~1.73 GB/step plus a measured 5.9 ms retile copy for
+# the (16, 128) 5-D view taps_shifted_add needs).  Shape changes vs
+# ups_head_taps:
+#
+# - full-width tiles (nj = 1): the +-1-pixel kx taps then never cross a W
+#   tile boundary (handled by in-tile rolls with wrap masking), so p0
+#   needs no W halo — it keeps its plain pipelined BlockSpec.
+# - the +-1-row ky taps cross ROW tiles.  Instead of recompute, the grid
+#   runs (b, ni + 1) with a one-tile finalize DELAY: program i computes
+#   yt for tile i into a rotating VMEM slot, then finalizes OUTPUT tile
+#   i-1 from [carry row | slot i-1 | first row of slot i]; a 1-row carry
+#   buffer holds tile i-2's last row.  Slots/carry persist across the
+#   sequential TPU grid (the cross-program-scratch pattern of
+#   ops/pallas_chain._block_kernel_dma).  Zero recompute, zero extra
+#   reads; program i's out block maps to row-tile max(i-1, 0) (the i=0
+#   garbage block is revisited and overwritten by i=1 before copy-back).
+# - tap-block extraction inside the finalize uses LANE ROLLS by co*t on
+#   the (th, W, 9*co) accumulator plus one final [..., :co] store slice
+#   (sub-128 lane ops — legality probed on TPU by _probe_laneroll.py;
+#   this path ships opt-in via DVIE_UPSHEAD_FOLD=1 until then).
+#
+# Differentiable via custom_vjp against the XLA reference (shifted add
+# f32-accumulated, matching the kernel's arithmetic).
+# ---------------------------------------------------------------------------
+
+
+def _shift_px(a, s):
+    """result[:, x] = a[:, x+s] with zero edges (s in {-1, 0, +1}); dim 1
+    is the pixel dim.  Positive rolls + wrap masking (sublane slices at
+    offset 1 carry layouts Mosaic cannot concat; see pallas_head notes)."""
+    if s == 0:
+        return a
+    S = a.shape[1]
+    r = pltpu.roll(a, (-s) % S, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
+    edge = S - 1 if s == 1 else 0
+    return jnp.where(col == edge, 0.0, r)
+
+
+def _kernel_fold(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
+                 w2t_ref, b2_ref, out_ref, s1, s2, ytb, carry, sems, *,
+                 th, wt, ni, ns, co):
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    i_eff = jnp.minimum(i, ni - 1)
+
+    cp1 = pltpu.make_async_copy(
+        p1_ref.at[bi, pl.ds(i_eff * (th // 2), th // 2 + 2)],
+        s1, sems.at[0])
+    cp2 = pltpu.make_async_copy(
+        p2_ref.at[bi, pl.ds(i_eff * (th // 4), th // 4 + 2)],
+        s2, sems.at[1])
+
+    @pl.when(i < ni)
+    def _compute():
+        cp1.start()
+        cp2.start()
+        dn = (((2,), (0,)), ((), ()))
+        cp1.wait()
+        v1 = s1[...].astype(jnp.float32)             # (th/2+2, wt+16, 2C1)
+        rows = []
+        for r in range(th):
+            a = r // 2 + 1
+            if r % 2 == 0:
+                rows.append(0.25 * v1[a - 1] + 0.75 * v1[a])
+            else:
+                rows.append(0.75 * v1[a] + 0.25 * v1[a + 1])
+        u1 = jnp.stack(rows)
+        c1 = u1.shape[-1] // 2
+        ph0, ph1 = u1[:, :, :c1], u1[:, :, c1:]
+        s_cells = u1.shape[1]
+        cm1_p1 = pltpu.roll(ph1, 1, axis=1)[:, 8:8 + wt]
+        c_p0 = ph0[:, 8:8 + wt]
+        c_p1 = ph1[:, 8:8 + wt]
+        cp1_p0 = pltpu.roll(ph0, s_cells - 1, axis=1)[:, 8:8 + wt]
+        dt = out_ref.dtype
+        up1 = jnp.concatenate([
+            0.25 * cm1_p1 + 0.75 * c_p0,
+            0.75 * c_p0 + 0.25 * c_p1,
+            0.25 * c_p0 + 0.75 * c_p1,
+            0.75 * c_p1 + 0.25 * cp1_p0,
+        ], axis=-1).astype(dt)
+        up1 = up1.reshape(th, 4 * wt, c1)
+
+        cp2.wait()
+        v2 = s2[...].astype(jnp.float32)             # (th/4+2, wt+16, C2)
+        rows = []
+        wts = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125),
+               (0.625, 0.375))
+        for r in range(th):
+            a = r // 4 + 1
+            w_lo, w_hi = wts[r % 4]
+            if r % 4 < 2:
+                rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
+            else:
+                rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
+        u2 = jnp.stack(rows)
+        cm1 = pltpu.roll(u2, 1, axis=1)[:, 8:8 + wt]
+        cc = u2[:, 8:8 + wt]
+        cp1_ = pltpu.roll(u2, u2.shape[1] - 1, axis=1)[:, 8:8 + wt]
+        up2 = jnp.concatenate([
+            0.375 * cm1 + 0.625 * cc,
+            0.125 * cm1 + 0.875 * cc,
+            0.875 * cc + 0.125 * cp1_,
+            0.625 * cc + 0.375 * cp1_,
+        ], axis=-1).astype(dt)
+        c2 = v2.shape[-1]
+        up2 = up2.reshape(th, 4 * wt, c2)
+
+        x0 = x0_ref[0]                               # (th, 4wt, C0)
+        yt = None
+        for s_i in range(ns):
+            acc = jax.lax.dot_general(x0, w1a_ref[s_i], dn,
+                                      preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                up1, w1b_ref[s_i], dn, preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                up2, w1c_ref[s_i], dn, preferred_element_type=jnp.float32)
+            h = acc + b1_ref[s_i]
+            h = jnp.where(h >= 0, h, 0.2 * h)
+            y = jax.lax.dot_general(h.astype(dt), w2t_ref[s_i], dn,
+                                    preferred_element_type=jnp.float32)
+            yt = y if yt is None else yt + y
+        ytb[i % 2] = yt.astype(ytb.dtype)
+
+    @pl.when(i == ni)
+    def _():
+        ytb[i % 2] = jnp.zeros_like(ytb[i % 2])
+
+    @pl.when(i >= 1)
+    def _finalize():
+        t_lanes = ytb.shape[-1]
+        ytp = ytb[(i - 1) % 2].astype(jnp.float32)   # tile i-1
+        top = jnp.where(i == 1, 0.0, carry[...].astype(jnp.float32))
+        first_cur = ytb[i % 2][0:1].astype(jnp.float32)
+        ytw = jnp.concatenate([top, ytp, first_cur], axis=0)
+        acc = None
+        for ky in range(3):
+            rows = ytw[ky:ky + th]
+            for kx in range(3):
+                t = ky * 3 + kx
+                sh = _shift_px(rows, kx - 1)
+                if t:
+                    sh = pltpu.roll(sh, (t_lanes - co * t) % t_lanes,
+                                    axis=2)
+                acc = sh if acc is None else acc + sh
+        out = acc[..., :co] + b2_ref[...].astype(jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
+        carry[...] = ytb[(i - 1) % 2][th - 1:th]
+
+
+def _fold_impl(p0, p1, p2, w1, b1, w2t, b2, interpret=False):
+    import os
+
+    b, h, w, c0 = p0.shape
+    c1, c2 = p1.shape[-1], p2.shape[-1]
+    co = b2.shape[0]
+    th, ns = 8, 2
+    env = os.environ.get("DVIE_FOLD_TILE")
+    if env:
+        t_th, t_ns = (int(v) for v in env.split(","))
+        if (t_th >= 4 and t_th % 4 == 0 and h % t_th == 0
+                and w1.shape[1] % t_ns == 0):
+            th, ns = t_th, t_ns
+    wt = w // 4
+    assert h % th == 0 and w % 8 == 0
+    dt = p0.dtype
+    ni = h // th
+    n_taps = w2t.shape[1]
+    assert n_taps == 9 * co, (n_taps, co)
+
+    p1p = jnp.pad(p1, ((0, 0), (1, 1), (16, 16), (0, 0)), mode="edge")
+    p1p = p1p.reshape(b, h // 2 + 2, w // 4 + 16, 2 * c1)
+    p2p = jnp.pad(p2, ((0, 0), (1, 1), (8, 8), (0, 0)), mode="edge")
+
+    w1 = w1.astype(dt)
+    n1 = w1.shape[1]
+    n2 = n1 // ns
+
+    def _nsplit(a):
+        return jnp.stack([a[:, k * n2:(k + 1) * n2] for k in range(ns)])
+
+    w1a = _nsplit(w1[:c0])
+    w1b = _nsplit(w1[c0:c0 + c1])
+    w1c = _nsplit(w1[c0 + c1:])
+    b1s = jnp.stack([b1[k * n2:(k + 1) * n2] for k in range(ns)]
+                    ).astype(jnp.float32)
+    w2ts = jnp.stack([w2t[k * n2:(k + 1) * n2] for k in range(ns)]
+                     ).astype(dt)
+
+    kern = functools.partial(_kernel_fold, th=th, wt=wt, ni=ni, ns=ns,
+                             co=co)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    return pl.pallas_call(
+        kern,
+        grid=(b, ni + 1),
+        in_specs=[
+            pl.BlockSpec((1, th, 4 * wt, c0),
+                         lambda bi, i: (bi, jnp.minimum(i, ni - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            w_spec, w_spec, w_spec, w_spec, w_spec, w_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, 4 * wt, co),
+            lambda bi, i: (bi, jnp.maximum(i - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), dt),
+        scratch_shapes=[
+            pltpu.VMEM((th // 2 + 2, wt + 16, 2 * c1), dt),
+            pltpu.VMEM((th // 4 + 2, wt + 16, c2), dt),
+            pltpu.VMEM((2, th, 4 * wt, n_taps), dt),
+            pltpu.VMEM((1, 4 * wt, n_taps), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(p0, p1p, p2p, w1a, w1b, w1c, b1s, w2ts,
+      b2.reshape(1, -1).astype(jnp.float32))
+
+
+def _ups_head_taps_fold_ref(p0, p1, p2, w1, b1, w2t, b2):
+    """XLA reference: taps + f32-accumulated 9-way shifted add + bias
+    (matches the kernel's arithmetic: yt cast to p0.dtype, adds in f32)."""
+    yt = _ups_head_taps_ref(p0, p1, p2, w1, b1, w2t)
+    co = b2.shape[0]
+    B, H, W, n = yt.shape
+    yt5 = yt.reshape(B, H, W, 9, co).astype(jnp.float32)
+    ytp = jnp.pad(yt5, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    out = None
+    for ky in range(3):
+        for kx in range(3):
+            t = ky * 3 + kx
+            sl = jax.lax.slice(
+                ytp, (0, ky, kx, t, 0),
+                (B, ky + H, kx + W, t + 1, co))[..., 0, :]
+            out = sl if out is None else out + sl
+    return (out + b2.astype(jnp.float32)).astype(p0.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ups_head_taps_fold(p0, p1, p2, w1, b1, w2t, b2, interpret=False):
+    """ups_head_taps with the 9-way shifted add + bias folded in-kernel;
+    returns the finished (B, H, W, co) head output.  Opt-in
+    (DVIE_UPSHEAD_FOLD=1) pending the TPU lane-roll probe + A/B."""
+    return _fold_impl(p0, p1, p2, w1, b1, w2t, b2, interpret)
+
+
+def _fwd_fold(p0, p1, p2, w1, b1, w2t, b2, interpret):
+    return (ups_head_taps_fold(p0, p1, p2, w1, b1, w2t, b2, interpret),
+            (p0, p1, p2, w1, b1, w2t, b2))
+
+
+def _bwd_fold(interpret, res, g):
+    _, vjp = jax.vjp(_ups_head_taps_fold_ref, *res)
+    return vjp(g)
+
+
+ups_head_taps_fold.defvjp(_fwd_fold, _bwd_fold)
+
+
+def fits_fold(p0, p1, p2) -> bool:
+    """Shape gate for the folded-taps path (full-width tiles)."""
+    b, h, w, c0 = p0.shape
+    return (fits(p0, p1, p2) and h % 8 == 0
+            and (w // 4) >= 16)

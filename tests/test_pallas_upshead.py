@@ -186,3 +186,108 @@ def test_fused_ups_head_gradients_match_ref():
     finally:
         if interpret:
             m.__dict__["_pallas_impl"] = orig
+
+
+def _mk_taps(b, h, w, co_r=3, co_s=20, seed=12):
+    rng = np.random.RandomState(seed)
+    p0, p1, p2, w1, b1 = _mk(b, h, w, seed=seed)
+    co = co_r + co_s
+    w2t = jnp.asarray(rng.uniform(-0.2, 0.2, (896, 9 * co)), jnp.float32)
+    b2 = jnp.asarray(rng.uniform(-0.3, 0.3, (co,)), jnp.float32)
+    return p0, p1, p2, w1, b1, w2t, b2
+
+
+@pytest.mark.parametrize("shape", [(1, 16, 64), (2, 24, 64)])
+def test_fold_matches_ref(shape):
+    """Folded shifted-add variant == taps + f32 shifted add + bias,
+    including the row-tile carry across every program boundary."""
+    from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+        _fold_impl,
+        _ups_head_taps_fold_ref,
+        fits_fold,
+    )
+
+    b, h, w = shape
+    p0, p1, p2, w1, b1, w2t, b2 = _mk_taps(b, h, w)
+    assert fits_fold(p0, p1, p2)
+    out = np.asarray(_fold_impl(p0, p1, p2, w1, b1, w2t, b2,
+                                interpret=True))
+    ref = np.asarray(_ups_head_taps_fold_ref(p0, p1, p2, w1, b1, w2t, b2))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_fold_tile_env(monkeypatch):
+    """DVIE_FOLD_TILE overrides (th, ns); invalid values are ignored."""
+    from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+        _fold_impl,
+        _ups_head_taps_fold_ref,
+    )
+
+    p0, p1, p2, w1, b1, w2t, b2 = _mk_taps(1, 16, 64, seed=13)
+    ref = np.asarray(_ups_head_taps_fold_ref(p0, p1, p2, w1, b1, w2t, b2))
+    for env in ("4,4", "3,2", "16,1"):
+        monkeypatch.setenv("DVIE_FOLD_TILE", env)
+        out = np.asarray(_fold_impl(p0, p1, p2, w1, b1, w2t, b2,
+                                    interpret=True))
+        np.testing.assert_allclose(out, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_fold_gradients_match_ref():
+    from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+        _ups_head_taps_fold_ref,
+        ups_head_taps_fold,
+    )
+
+    p0, p1, p2, w1, b1, w2t, b2 = _mk_taps(1, 8, 32, seed=14)
+
+    def lf(*a):
+        return jnp.sum(ups_head_taps_fold(*a, True) ** 2)
+
+    def lr(*a):
+        return jnp.sum(_ups_head_taps_fold_ref(*a) ** 2)
+
+    gf = jax.grad(lf, argnums=tuple(range(7)))(p0, p1, p2, w1, b1, w2t, b2)
+    gr = jax.grad(lr, argnums=tuple(range(7)))(p0, p1, p2, w1, b1, w2t, b2)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_hrnet_fold_path_matches_taps_path(monkeypatch):
+    """DVIE_UPSHEAD_FOLD=1 in _apply_heads == the taps + XLA shifted-add
+    path on the same params."""
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import HRNet
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.core import hw
+    from deep_video_interpolation_extrapolation_tpu.ops import pallas_upshead as m
+
+    monkeypatch.setattr(hw, "pallas_enabled", lambda: True)
+    orig_impl = m._pallas_impl
+    monkeypatch.setattr(
+        m, "_pallas_impl",
+        lambda *a, **k: orig_impl(*a, **{**k, "interpret": True}))
+    orig_fold = m._fold_impl
+    monkeypatch.setattr(
+        m, "_fold_impl",
+        lambda *a, **k: orig_fold(*a[:7], True))
+
+    cfg = Config(runner="INTER", model="InterNet", syn_type="inter",
+                 mode="xs2xs", coarse_model="HRNet", input_h=16,
+                 input_w=32, batch_size=1, dataset="synthetic")
+    model = HRNet(cfg)
+    rng = np.random.RandomState(15)
+    rgb = jnp.asarray(rng.uniform(-1, 1, (1, 16, 32, 6)), jnp.float32)
+    seg = jnp.asarray(rng.uniform(-1, 1, (1, 16, 32, 40)), jnp.float32)
+
+    monkeypatch.setenv("DVIE_UPSHEAD_FOLD", "0")
+    v = model.init(jax.random.PRNGKey(0), rgb, seg, train=False)
+    base = model.apply(v, rgb, seg, train=False)
+
+    monkeypatch.setenv("DVIE_UPSHEAD_FOLD", "1")
+    v2 = model.init(jax.random.PRNGKey(0), rgb, seg, train=False)
+    assert (jax.tree_util.tree_structure(v2)
+            == jax.tree_util.tree_structure(v))
+    out = model.apply(v, rgb, seg, train=False)
+    for a, b in zip(out, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
