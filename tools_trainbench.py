@@ -1,0 +1,108 @@
+"""Training-throughput bench: InterNet at the reference's blessed recipe.
+
+Measures the full train step (forward + VGG-perceptual loss + backward +
+per-submodel Adamax) for InterNet/HRNet at the reference author's actual
+training configuration — 128x128 crops (docs/RECIPES.md §1; reference
+cmd:160-162 trained bs 16-48 on 2-6x 11GB GPUs) — on one chip, plus the
+full-resolution 1024x512 variant used by bench.py.
+
+Timing rules as bench.py: the whole measured loop lives in ONE jit
+(``lax.scan`` over the train step; the relay costs ~30 ms per synchronous
+round trip), params change every step so no model compute can hoist.
+VGG loss runs with randomly initialized frozen weights — identical FLOPs
+to the pretrained ones.
+
+Usage: python tools_trainbench.py [--bs 24] [--hw 128,128] [--iters 10]
+Prints one JSON line {"metric", "value", "unit", "config"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=24)
+    ap.add_argument("--hw", type=str, default="128,128")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--no-vgg", action="store_true")
+    args = ap.parse_args()
+    h, w = (int(v) for v in args.hw.split(","))
+
+    import jax
+    import jax.numpy as jnp
+    from deep_video_interpolation_extrapolation_tpu.core.cache import (
+        enable_compilation_cache,
+    )
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+    from deep_video_interpolation_extrapolation_tpu.train import (
+        inter,
+        state as state_lib,
+    )
+    from deep_video_interpolation_extrapolation_tpu.train.common import (
+        init_vgg_frozen,
+    )
+
+    enable_compilation_cache()
+    cfg = Config(
+        runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
+        train_coarse=True, coarse_model="HRNet", compute_dtype="bfloat16",
+        input_h=h, input_w=w, batch_size=args.bs, dataset="synthetic",
+    )
+    model = registry.build_model(cfg)
+    b = args.bs
+    rgb = jnp.zeros((b, h, w, 6), jnp.bfloat16)
+    seg = jnp.zeros((b, h, w, 40), jnp.bfloat16)
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        k0, rgb, seg, train=True)
+    frozen = ({} if args.no_vgg or not cfg.vgg_weight
+              else {"vgg": init_vgg_frozen(cfg, k1)})
+    state = state_lib.create_train_state(cfg, variables, frozen=frozen)
+
+    batch = {
+        "frame1": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
+        "frame2": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
+        "frame3": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
+        "seg1": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
+        "seg2": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
+        "seg3": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
+    }
+    step = inter.make_train_step(cfg, model)
+
+    @jax.jit
+    def loop(state, batch, rng):
+        def body(carry, i):
+            st, _ = carry
+            st2, losses = step(st, batch, jax.random.fold_in(rng, i))
+            return (st2, losses["loss_all"]), None
+        (st, last), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jnp.arange(args.iters))
+        return st, last
+
+    st, last = loop(state, batch, jax.random.PRNGKey(7))
+    float(last)  # fence through the relay
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st2, last = loop(state, batch, jax.random.PRNGKey(7))
+        float(last)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    sps = args.iters / best
+    print(json.dumps({
+        "metric": "internet_hrnet_train_step_rate",
+        "value": round(sps, 3),
+        "unit": "steps/sec/chip",
+        "frames_per_sec": round(sps * b, 2),
+        "config": f"bs{b}_{h}x{w}_bf16_vgg={not args.no_vgg}",
+    }))
+
+
+if __name__ == "__main__":
+    main()
