@@ -41,9 +41,24 @@ class MeshSpec:
 
 
 def maybe_init_distributed() -> None:
-    """Initialize multi-host JAX if launched under a multi-process runtime."""
+    """Initialize multi-host JAX if launched under a multi-process runtime.
+
+    The explicit DVIE_COORDINATOR/DVIE_NUM_PROCS/DVIE_PROC_ID contract is
+    the TPU-native analog of the reference's NCCL TCP rendezvous
+    (main.py:76-77, ``tcp://127.0.0.1:<port>``); without them,
+    ``jax.distributed.initialize()`` falls back to its own cluster
+    auto-detection (SLURM/GKE/TPU pods).  Exercised for real by
+    tests/test_multihost.py on a 2-process gloo/CPU cluster.
+    """
     if int(os.environ.get("DVIE_MULTIHOST", "0")):
-        jax.distributed.initialize()
+        kw = {}
+        if os.environ.get("DVIE_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["DVIE_COORDINATOR"],
+                num_processes=int(os.environ["DVIE_NUM_PROCS"]),
+                process_id=int(os.environ["DVIE_PROC_ID"]),
+            )
+        jax.distributed.initialize(**kw)
 
 
 def create_mesh(
