@@ -582,6 +582,41 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
     from deep_video_interpolation_extrapolation_tpu.core.hw import (
         pallas_enabled,
     )
+    # 4-part (--highres_large) fused heads: opt-in pending a TPU A/B on
+    # that config (DVIE_FUSED_HEAD4=1; ops/pallas_upshead.ups_head_taps4)
+    use_fused4 = (pallas_enabled() and highres_large
+                  and not spatial_sharded
+                  and rgb_head.out_dim * 9 <= 128
+                  and seg_head.out_dim * 9 <= 256
+                  and os.environ.get("DVIE_FUSED_HEAD4", "0") == "1")
+    if use_fused4:
+        parts = run_backbone(True)
+        from deep_video_interpolation_extrapolation_tpu.ops import pallas_upshead
+        if pallas_upshead.fits4(*parts):
+            from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+                build_dual_tap_kernel,
+                taps_shifted_add,
+            )
+            (wr, br) = rgb_head.fc1_params()
+            (ws, bs) = seg_head.fc1_params()
+            w1 = jnp.concatenate([wr[0, 0], ws[0, 0]], axis=1)
+            b1 = jnp.concatenate([br, bs]).astype(jnp.float32)
+            (w2r, b2r) = rgb_head.conv2_params()
+            (w2s, b2s) = seg_head.conv2_params()
+            dt = parts[0].dtype
+            w2t = build_dual_tap_kernel(w2r, w2s, dt)
+            yt = pallas_upshead.ups_head_taps4(*parts, w1, b1, w2t)
+            co = rgb_head.out_dim + seg_head.out_dim
+            out = taps_shifted_add(yt, co)
+            out = out + jnp.concatenate([b2r, b2s]).astype(dt)
+            return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
+        size = parts[0].shape[1:3]
+        ups = [parts[0]] + [
+            interpolate_bilinear(t, size=size, align_corners=False)
+            for t in parts[1:]
+        ]
+        feat = jnp.concatenate(ups, axis=-1)
+        return rgb_head(feat), seg_head(feat)
     use_fused = (pallas_enabled() and not highres_large
                  and not spatial_sharded
                  and os.environ.get("DVIE_FUSED_HEAD", "1") != "0")

@@ -610,3 +610,290 @@ def fits_fold(p0, p1, p2) -> bool:
     b, h, w, c0 = p0.shape
     return (fits(p0, p1, p2) and h % 8 == 0
             and (w // 4) >= 16)
+
+
+# ---------------------------------------------------------------------------
+# 4-part variant (--highres_large): the stage-4 pyramid adds a 1/8-res
+# 512-ch part (models/hrnet.STAGE4_CFG; reference nets/HRNet.py HIGH4 cfg),
+# making the heads region the dominant cost of that config (cin = 960,
+# the concat alone is 8.1 GB at 8x512x1024 bf16).  Same design as
+# _kernel with a third DMA'd slab and x8 upsampling: rows blend with
+# per-phase weights d = (p - 3.5)/8 (the half-pixel generalization of
+# the x2/x4 tables), columns emit f8-packed cells (one source column
+# feeds TWO output cells) unpacked by a lane-block reshape (target lane
+# 512, the Mosaic-supported (a, b, f*C) -> (a, f*b, C) form).
+# Opt-in: DVIE_FUSED_HEAD4=1 (pending a TPU A/B on the highres_large
+# config; the 3-part kernel's was 104 -> ~60 ms).
+# ---------------------------------------------------------------------------
+
+
+def _kernel4(x0_ref, p1_ref, p2_ref, p3_ref, w1a_ref, w1b_ref, w1c_ref,
+             w1d_ref, b1_ref, *rest, th: int, wt: int, ni: int, nj: int,
+             total: int, ns: int = 1):
+    # rest = [w2t_ref?] + [out_ref, s1, s2, s3, sems]
+    if len(rest) == 6:
+        w2t_ref, out_ref, s1, s2, s3, sems = rest
+    else:
+        out_ref, s1, s2, s3, sems = rest
+        w2t_ref = None
+
+    p = (pl.program_id(0) * ni + pl.program_id(1)) * nj + pl.program_id(2)
+
+    def dmas(slot, q):
+        bi = q // (ni * nj)
+        r = q % (ni * nj)
+        ti = r // nj
+        tj = r % nj
+        return (
+            pltpu.make_async_copy(
+                p1_ref.at[bi, pl.ds(ti * (th // 2), th // 2 + 2),
+                          pl.ds(tj * wt, wt + 16)],
+                s1.at[slot], sems.at[0, slot]),
+            pltpu.make_async_copy(
+                p2_ref.at[bi, pl.ds(ti * (th // 4), th // 4 + 2),
+                          pl.ds(tj * wt, wt + 16)],
+                s2.at[slot], sems.at[1, slot]),
+            pltpu.make_async_copy(
+                p3_ref.at[bi, pl.ds(ti * (th // 8), th // 8 + 2),
+                          pl.ds(tj * (wt // 2), wt // 2 + 16)],
+                s3.at[slot], sems.at[2, slot]),
+        )
+
+    @pl.when(p == 0)
+    def _():
+        for c in dmas(0, p):
+            c.start()
+
+    @pl.when(p + 1 < total)
+    def _():
+        for c in dmas((p + 1) % 2, p + 1):
+            c.start()
+
+    dn = (((2,), (0,)), ((), ()))
+    cp1, cp2, cp3 = dmas(p % 2, p)
+    dt = out_ref.dtype
+
+    cp1.wait()
+    v1 = s1[p % 2].astype(jnp.float32)
+    rows = []
+    for r in range(th):
+        a = r // 2 + 1
+        if r % 2 == 0:
+            rows.append(0.25 * v1[a - 1] + 0.75 * v1[a])
+        else:
+            rows.append(0.75 * v1[a] + 0.25 * v1[a + 1])
+    u1 = jnp.stack(rows)
+    c1 = u1.shape[-1] // 2
+    ph0, ph1 = u1[:, :, :c1], u1[:, :, c1:]
+    s_cells = u1.shape[1]
+    cm1_p1 = pltpu.roll(ph1, 1, axis=1)[:, 8:8 + wt]
+    c_p0 = ph0[:, 8:8 + wt]
+    c_p1 = ph1[:, 8:8 + wt]
+    cp1_p0 = pltpu.roll(ph0, s_cells - 1, axis=1)[:, 8:8 + wt]
+    up1 = jnp.concatenate([
+        0.25 * cm1_p1 + 0.75 * c_p0,
+        0.75 * c_p0 + 0.25 * c_p1,
+        0.25 * c_p0 + 0.75 * c_p1,
+        0.75 * c_p1 + 0.25 * cp1_p0,
+    ], axis=-1).astype(dt)
+    up1 = up1.reshape(th, 4 * wt, c1)
+
+    cp2.wait()
+    v2 = s2[p % 2].astype(jnp.float32)
+    rows = []
+    wts4 = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125), (0.625, 0.375))
+    for r in range(th):
+        a = r // 4 + 1
+        w_lo, w_hi = wts4[r % 4]
+        if r % 4 < 2:
+            rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
+        else:
+            rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
+    u2 = jnp.stack(rows)
+    cm1 = pltpu.roll(u2, 1, axis=1)[:, 8:8 + wt]
+    cc = u2[:, 8:8 + wt]
+    cp1_ = pltpu.roll(u2, u2.shape[1] - 1, axis=1)[:, 8:8 + wt]
+    up2 = jnp.concatenate([
+        0.375 * cm1 + 0.625 * cc,
+        0.125 * cm1 + 0.875 * cc,
+        0.875 * cc + 0.125 * cp1_,
+        0.625 * cc + 0.375 * cp1_,
+    ], axis=-1).astype(dt)
+    c2 = v2.shape[-1]
+    up2 = up2.reshape(th, 4 * wt, c2)
+
+    cp3.wait()
+    v3 = s3[p % 2].astype(jnp.float32)            # (th/8+2, wt/2+16, C3)
+    rows = []
+    for r in range(th):
+        a = r // 8 + 1
+        d = (r % 8 - 3.5) / 8.0
+        if d < 0:
+            rows.append((-d) * v3[a - 1] + (1.0 + d) * v3[a])
+        else:
+            rows.append((1.0 - d) * v3[a] + d * v3[a + 1])
+    u3 = jnp.stack(rows)                          # (th, wt/2+16, C3)
+    cm1_3 = pltpu.roll(u3, 1, axis=1)[:, 8:8 + wt // 2]
+    cc_3 = u3[:, 8:8 + wt // 2]
+    cp1_3 = pltpu.roll(u3, u3.shape[1] - 1, axis=1)[:, 8:8 + wt // 2]
+    phases = []
+    for q in range(8):
+        d = (q - 3.5) / 8.0
+        if d < 0:
+            phases.append((-d) * cm1_3 + (1.0 + d) * cc_3)
+        else:
+            phases.append((1.0 - d) * cc_3 + d * cp1_3)
+    up3 = jnp.concatenate(phases, axis=-1).astype(dt)  # (th, wt/2, 8*C3)
+    c3 = v3.shape[-1]
+    up3 = up3.reshape(th, 4 * wt, c3)
+
+    x0 = x0_ref[0]
+    yt = None
+    for s_i in range(ns):
+        acc = jax.lax.dot_general(x0, w1a_ref[s_i], dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(up1, w1b_ref[s_i], dn,
+                                        preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(up2, w1c_ref[s_i], dn,
+                                        preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(up3, w1d_ref[s_i], dn,
+                                        preferred_element_type=jnp.float32)
+        h = acc + b1_ref[s_i]
+        h = jnp.where(h >= 0, h, 0.2 * h)
+        if w2t_ref is None:
+            out_ref[0] = h.astype(dt)
+            return
+        y = jax.lax.dot_general(h.astype(dt), w2t_ref[s_i], dn,
+                                preferred_element_type=jnp.float32)
+        yt = y if yt is None else yt + y
+    out_ref[0] = yt.astype(dt)
+
+
+def _pallas_impl4(p0, p1, p2, p3, w1, b1, w2t=None, interpret=False):
+    import os
+
+    b, h, w, c0 = p0.shape
+    c1, c2, c3 = p1.shape[-1], p2.shape[-1], p3.shape[-1]
+    th, wt, ns = 8, 32, 2
+    env = os.environ.get("DVIE_UPSHEAD4_TILE")
+    if env:
+        t_th, t_wt, t_ns = (int(v) for v in env.split(","))
+        if (t_th >= 8 and t_th % 8 == 0 and h % t_th == 0
+                and (w // 4) % t_wt == 0 and t_wt % 2 == 0
+                and w1.shape[1] % t_ns == 0):
+            th, wt, ns = t_th, t_wt, t_ns
+    w4 = w // 4
+    while w4 % wt or wt % 2:
+        wt //= 2
+    assert h % th == 0 and th % 8 == 0 and wt >= 8, (h, w, th, wt)
+
+    dt = p0.dtype
+    ni, nj = h // th, w4 // wt
+    p1p = jnp.pad(p1, ((0, 0), (1, 1), (16, 16), (0, 0)), mode="edge")
+    p1p = p1p.reshape(b, h // 2 + 2, w4 + 16, 2 * c1)
+    p2p = jnp.pad(p2, ((0, 0), (1, 1), (8, 8), (0, 0)), mode="edge")
+    p3p = jnp.pad(p3, ((0, 0), (1, 1), (8, 8), (0, 0)), mode="edge")
+
+    w1 = w1.astype(dt)
+    n1 = w1.shape[1]
+    n2 = n1 // ns
+
+    def _nsplit(a):
+        return jnp.stack([a[:, k * n2:(k + 1) * n2] for k in range(ns)])
+
+    w1a = _nsplit(w1[:c0])
+    w1b = _nsplit(w1[c0:c0 + c1])
+    w1c = _nsplit(w1[c0 + c1:c0 + c1 + c2])
+    w1d = _nsplit(w1[c0 + c1 + c2:])
+    b1s = jnp.stack([b1[k * n2:(k + 1) * n2] for k in range(ns)]
+                    ).astype(jnp.float32)
+    n = n2 if w2t is None else w2t.shape[1]
+
+    kern = functools.partial(_kernel4, th=th, wt=wt, ni=ni, nj=nj,
+                             total=b * ni * nj, ns=ns)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, th, 4 * wt, c0), lambda bi, i, j: (bi, i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        w_spec, w_spec, w_spec, w_spec, w_spec,
+    ]
+    args = [p0, p1p, p2p, p3p, w1a, w1b, w1c, w1d, b1s]
+    if w2t is not None:
+        in_specs.append(w_spec)
+        w2ts = jnp.stack([w2t[k * n2:(k + 1) * n2] for k in range(ns)])
+        args.append(w2ts.astype(dt))
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    return pl.pallas_call(
+        kern,
+        grid=(b, ni, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, th, 4 * wt, n), lambda bi, i, j: (bi, i, j, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, n), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, th // 2 + 2, wt + 16, 2 * c1), dt),
+            pltpu.VMEM((2, th // 4 + 2, wt + 16, c2), dt),
+            pltpu.VMEM((2, th // 8 + 2, wt // 2 + 16, c3), dt),
+            pltpu.SemaphoreType.DMA((3, 2)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*args)
+
+
+def _ups_head_ref4(p0, p1, p2, p3, w1, b1):
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        interpolate_bilinear,
+    )
+    size = p0.shape[1:3]
+    cat = jnp.concatenate([
+        p0,
+        interpolate_bilinear(p1, size=size, align_corners=False),
+        interpolate_bilinear(p2, size=size, align_corners=False),
+        interpolate_bilinear(p3, size=size, align_corners=False),
+    ], axis=-1)
+    h = jnp.einsum("bhwc,cn->bhwn", cat, w1.astype(cat.dtype),
+                   preferred_element_type=cat.dtype) + b1.astype(cat.dtype)
+    return jnp.where(h >= 0, h, 0.2 * h)
+
+
+def _ups_head_taps_ref4(p0, p1, p2, p3, w1, b1, w2t):
+    h = _ups_head_ref4(p0, p1, p2, p3, w1, b1)
+    return jnp.einsum("bhwc,cn->bhwn", h, w2t.astype(h.dtype),
+                      preferred_element_type=h.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ups_head_taps4(p0, p1, p2, p3, w1, b1, w2t, interpret=False):
+    """4-part (highres_large) fused upsample-concat + dual 1x1 + taps."""
+    return _pallas_impl4(p0, p1, p2, p3, w1, b1, w2t, interpret)
+
+
+def _fwd_taps4(p0, p1, p2, p3, w1, b1, w2t, interpret):
+    return (ups_head_taps4(p0, p1, p2, p3, w1, b1, w2t, interpret),
+            (p0, p1, p2, p3, w1, b1, w2t))
+
+
+def _bwd_taps4(interpret, res, g):
+    _, vjp = jax.vjp(_ups_head_taps_ref4, *res)
+    return vjp(g)
+
+
+ups_head_taps4.defvjp(_fwd_taps4, _bwd_taps4)
+
+
+def fits4(p0, p1, p2, p3) -> bool:
+    b, h, w, c0 = p0.shape
+    return (h % 8 == 0 and w % 64 == 0 and w >= 64
+            and p1.shape[1:3] == (h // 2, w // 2)
+            and p2.shape[1:3] == (h // 4, w // 4)
+            and p3.shape[1:3] == (h // 8, w // 8)
+            and p1.shape[-1] % 128 == 0 and p2.shape[-1] % 128 == 0
+            and p3.shape[-1] % 128 == 0 and (h // 8) >= 2)

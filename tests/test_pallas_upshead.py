@@ -271,10 +271,12 @@ def test_hrnet_fold_path_matches_taps_path(monkeypatch):
         m, "_fold_impl",
         lambda *a, **k: orig_fold(*a[:7], True))
 
+    from deep_video_interpolation_extrapolation_tpu.models import registry
     cfg = Config(runner="INTER", model="InterNet", syn_type="inter",
                  mode="xs2xs", coarse_model="HRNet", input_h=16,
-                 input_w=32, batch_size=1, dataset="synthetic")
-    model = HRNet(cfg)
+                 input_w=32, batch_size=1, dataset="synthetic",
+                 compute_dtype="float32")
+    model = registry.build_coarse(cfg, name=None)
     rng = np.random.RandomState(15)
     rgb = jnp.asarray(rng.uniform(-1, 1, (1, 16, 32, 6)), jnp.float32)
     seg = jnp.asarray(rng.uniform(-1, 1, (1, 16, 32, 40)), jnp.float32)
@@ -284,6 +286,112 @@ def test_hrnet_fold_path_matches_taps_path(monkeypatch):
     base = model.apply(v, rgb, seg, train=False)
 
     monkeypatch.setenv("DVIE_UPSHEAD_FOLD", "1")
+    v2 = model.init(jax.random.PRNGKey(0), rgb, seg, train=False)
+    assert (jax.tree_util.tree_structure(v2)
+            == jax.tree_util.tree_structure(v))
+    out = model.apply(v, rgb, seg, train=False)
+    for a, b in zip(out, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=3e-4)
+
+
+def _mk4(b, h, w, seed=30):
+    rng = np.random.RandomState(seed)
+    p0 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 64)), jnp.float32)
+    p1 = jnp.asarray(rng.uniform(-1, 1, (b, h // 2, w // 2, 128)), jnp.float32)
+    p2 = jnp.asarray(rng.uniform(-1, 1, (b, h // 4, w // 4, 256)), jnp.float32)
+    p3 = jnp.asarray(rng.uniform(-1, 1, (b, h // 8, w // 8, 512)), jnp.float32)
+    w1 = jnp.asarray(rng.uniform(-0.05, 0.05, (960, 1920)), jnp.float32)
+    b1 = jnp.asarray(rng.uniform(-0.1, 0.1, (1920,)), jnp.float32)
+    w2t = jnp.asarray(rng.uniform(-0.1, 0.1, (1920, 207)), jnp.float32)
+    return p0, p1, p2, p3, w1, b1, w2t
+
+
+@pytest.mark.parametrize("shape", [(1, 16, 64), (2, 24, 128)])
+def test_ups_head_taps4_matches_ref(shape):
+    """4-part (highres_large) kernel == upsample-concat + 1x1 + taps,
+    incl. the x8 row/column phase blends and edge clamps."""
+    from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+        _pallas_impl4,
+        _ups_head_taps_ref4,
+        fits4,
+    )
+
+    b, h, w = shape
+    p0, p1, p2, p3, w1, b1, w2t = _mk4(b, h, w)
+    assert fits4(p0, p1, p2, p3)
+    out = np.asarray(_pallas_impl4(p0, p1, p2, p3, w1, b1, w2t,
+                                   interpret=True))
+    ref = np.asarray(_ups_head_taps_ref4(p0, p1, p2, p3, w1, b1, w2t))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_ups_head_taps4_edge_clamp():
+    from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+        _pallas_impl4,
+        _ups_head_taps_ref4,
+    )
+
+    p0, p1, p2, p3, w1, b1, w2t = _mk4(1, 16, 64, seed=31)
+    p3 = p3.at[:, 0, :, :].set(6.0).at[:, -1, :, :].set(-6.0)
+    p3 = p3.at[:, :, 0, :].set(4.0).at[:, :, -1, :].set(-4.0)
+    out = np.asarray(_pallas_impl4(p0, p1, p2, p3, w1, b1, w2t,
+                                   interpret=True))
+    ref = np.asarray(_ups_head_taps_ref4(p0, p1, p2, p3, w1, b1, w2t))
+    np.testing.assert_allclose(out, ref, atol=3e-4, rtol=3e-4)
+
+
+def test_ups_head_taps4_gradients():
+    from deep_video_interpolation_extrapolation_tpu.ops.pallas_upshead import (
+        _ups_head_taps_ref4,
+        ups_head_taps4,
+    )
+
+    p0, p1, p2, p3, w1, b1, w2t = _mk4(1, 8, 64, seed=32)
+
+    def lf(*a):
+        return jnp.sum(ups_head_taps4(*a, True) ** 2)
+
+    def lr(*a):
+        return jnp.sum(_ups_head_taps_ref4(*a) ** 2)
+
+    args = (p0, p1, p2, p3, w1, b1, w2t)
+    gf = jax.grad(lf, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(lr, argnums=tuple(range(7)))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_highres_large_fused_heads_match_unfused(monkeypatch):
+    """DVIE_FUSED_HEAD4=1 == the XLA composition on the same params for
+    the 4-branch (--highres_large) HRNet."""
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import HRNet
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.core import hw
+    from deep_video_interpolation_extrapolation_tpu.ops import pallas_upshead as m
+
+    monkeypatch.setattr(hw, "pallas_enabled", lambda: True)
+    orig = m._pallas_impl4
+    monkeypatch.setattr(
+        m, "_pallas_impl4",
+        lambda *a, **k: orig(*a[:7], interpret=True))
+
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+    cfg = Config(runner="INTER", model="InterNet", syn_type="inter",
+                 mode="xs2xs", coarse_model="HRNet", input_h=16,
+                 input_w=64, batch_size=1, dataset="synthetic",
+                 highres_large=True, compute_dtype="float32")
+    model = registry.build_coarse(cfg, name=None)
+    rng = np.random.RandomState(33)
+    rgb = jnp.asarray(rng.uniform(-1, 1, (1, 16, 64, 6)), jnp.float32)
+    seg = jnp.asarray(rng.uniform(-1, 1, (1, 16, 64, 40)), jnp.float32)
+
+    monkeypatch.setenv("DVIE_FUSED_HEAD4", "0")
+    v = model.init(jax.random.PRNGKey(0), rgb, seg, train=False)
+    base = model.apply(v, rgb, seg, train=False)
+
+    monkeypatch.setenv("DVIE_FUSED_HEAD4", "1")
     v2 = model.init(jax.random.PRNGKey(0), rgb, seg, train=False)
     assert (jax.tree_util.tree_structure(v2)
             == jax.tree_util.tree_structure(v))
