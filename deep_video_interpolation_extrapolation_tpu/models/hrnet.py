@@ -489,19 +489,29 @@ class _HRBackbone(nn.Module):
 
         xs = _Transition(STAGE2_CFG["num_channels"], STAGE3_CFG["num_channels"],
                          dtype=self.dtype, name="transition2")(xs)
+        # --highres_large: keep branch0 packed THROUGH stage4 (the same
+        # 1.5x packing + A+E machinery the 3-branch chain runs by
+        # default); stage3's fuse-out0 then emits packed, transition3's
+        # same-channel branch-0 passthrough carries it, stage4's branch
+        # chain consumes it, and the final out0 unpacks for the heads.
+        # Opt-in pending a TPU A/B on the highres_large config
+        # (DVIE_HL4_PACK=1).
+        hl4 = (self.highres_large and f0
+               and os.environ.get("DVIE_HL4_PACK", "0") == "1")
         xs = HighResolutionModule(
             dtype=self.dtype, name="stage3", branch0_packed=kp or f0,
-            keep_packed_out0=kp,
+            keep_packed_out0=kp, fuse0_packed_out=hl4,
             spatial_sharded=self.spatial_sharded, **STAGE3_CFG)(xs)
 
         if self.highres_large:
             xs = _Transition(STAGE3_CFG["num_channels"], STAGE4_CFG["num_channels"],
                              dtype=self.dtype, name="transition3")(xs)
             xs = HighResolutionModule(
-                dtype=self.dtype, name="stage4", branch0_packed=kp,
-                keep_packed_out0=kp, **STAGE4_CFG)(xs)
+                dtype=self.dtype, name="stage4", branch0_packed=kp or hl4,
+                keep_packed_out0=kp or hl4,
+                spatial_sharded=self.spatial_sharded, **STAGE4_CFG)(xs)
 
-        if kp:
+        if kp or hl4:
             from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
                 unpack_w,
             )

@@ -158,3 +158,65 @@ def test_module_wiring_stage2_stage3(monkeypatch):
     for u, v in zip(ref3, out3):   # stage3 out-0 unpacked (head stage)
         np.testing.assert_allclose(np.asarray(v), np.asarray(u),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_highres_large_packed_backbone(monkeypatch):
+    """DVIE_HL4_PACK=1: branch-0 stays packed through stage4 (stage3
+    fuse-out0 packed -> transition3 passthrough -> stage4 packed chain ->
+    final unpack) == the default highres_large backbone on the same
+    params (all kernels interpreted, backend faked to 'tpu')."""
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import (
+        _HRBackbone,
+    )
+    from deep_video_interpolation_extrapolation_tpu.ops import (
+        pallas_ae_conv,
+        pallas_chain,
+    )
+
+    orig_impl = pallas_fuse0._impl
+    monkeypatch.setattr(
+        pallas_fuse0, "_impl",
+        lambda y0p, t1, t2, po, interpret=False: orig_impl(
+            y0p, t1, t2, po, interpret=True))
+    orig_impl_h = pallas_fuse0._impl_hwnc
+    monkeypatch.setattr(
+        pallas_fuse0, "_impl_hwnc",
+        lambda y0, t1, t2, interpret=False: orig_impl_h(
+            y0, t1, t2, interpret=True))
+    orig_ae = pallas_ae_conv._impl
+    monkeypatch.setattr(
+        pallas_ae_conv, "_impl",
+        lambda xp, k, res, relu, f=2, interpret=False: orig_ae(
+            xp, k, res, relu, f, interpret=True))
+    orig_hwnc = pallas_ae_conv._impl_hwnc
+    monkeypatch.setattr(
+        pallas_ae_conv, "_impl_hwnc",
+        lambda x, k, res, relu, f=2, interpret=False, bias=None: orig_hwnc(
+            x, k, res, relu, f, True, bias))
+    ob = pallas_chain._block_impl
+    monkeypatch.setattr(
+        pallas_chain, "_block_impl",
+        lambda h1, x, k2p, k3p, kresp, k1np, interpret=False, ae=False: ob(
+            h1, x, k2p, k3p, kresp, k1np, True, ae))
+    of = pallas_chain._boundary_impl
+    monkeypatch.setattr(
+        pallas_chain, "_boundary_impl",
+        lambda h2, x, k3p, kresp, k1np, interpret=False: of(
+            h2, x, k3p, kresp, k1np, True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 16, 256, 14)), jnp.float32)
+    bb = _HRBackbone(highres_large=True, dtype=jnp.float32)
+
+    monkeypatch.setenv("DVIE_HL4_PACK", "0")
+    v = bb.init(jax.random.PRNGKey(0), x)
+    ref = bb.apply(v, x)
+
+    monkeypatch.setenv("DVIE_HL4_PACK", "1")
+    v2 = bb.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v2)
+            == jax.tree_util.tree_structure(v))
+    out = bb.apply(v, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
