@@ -92,4 +92,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon relay can refuse/disconnect transiently (backed-up compiles
+    # from killed jobs surface as UNAVAILABLE backend-init errors for a few
+    # minutes).  Retry a bounded number of times so a flaky moment doesn't
+    # record a benchless round; a hard outage still fails after ~5 min.
+    for attempt in range(4):
+        try:
+            main()
+            break
+        except RuntimeError as e:
+            if attempt == 3 or "UNAVAILABLE" not in str(e):
+                raise
+            import sys
+
+            print(f"bench: backend unavailable (attempt {attempt + 1}), "
+                  "retrying in 90s", file=sys.stderr)
+            time.sleep(90)
