@@ -129,3 +129,34 @@ def test_cli_train_spatial_sharded(tmp_path):
     run(cfg)
     logs = glob.glob(str(tmp_path / "*" / "*.log"))
     assert logs, "experiment log written"
+
+
+def test_recipes_doc_commands_parse():
+    """Every blessed command in docs/RECIPES.md and docs/MIGRATION.md parses.
+
+    Extracts each ``python main.py ...`` invocation from the docs' bash
+    blocks (joining backslash continuations, substituting the <...>
+    placeholders) and runs it through parse_args, pinning the documented
+    recipes to the real flag surface (reference options/options.py parity).
+    """
+    import re
+
+    docs_dir = os.path.join(os.path.dirname(__file__), "..", "docs")
+    cmds = []
+    for name in ("RECIPES.md", "MIGRATION.md"):
+        text = open(os.path.join(docs_dir, name)).read()
+        for block in re.findall(r"```bash\n(.*?)```", text, re.S):
+            joined = block.replace("\\\n", " ")
+            for line in joined.splitlines():
+                line = line.strip()
+                if line.startswith("python main.py") and "..." not in line:
+                    # elided ("...") snippets are illustrative, not runnable
+                    # "1" satisfies both int-typed (--checkepoch) and
+                    # path-typed (--load_dir) placeholder slots
+                    cmds.append(re.sub(r"<[^>]*>", "1",
+                                       line[len("python main.py"):]))
+    assert len(cmds) >= 7, cmds
+    for cmd in cmds:
+        argv = cmd.split()
+        cfg = parse_args(argv)
+        assert cfg.model, cmd
