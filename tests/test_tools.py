@@ -202,3 +202,33 @@ def test_create_trackrcnn_track_pkl(tmp_path):
     np.testing.assert_allclose(arr[1, 0, 0], (114 - 14) * (224 - 24) / (512 * 1024.0))
     with open(out_clip_pkl, "rb") as f:
         assert pickle.load(f)["train"] == [frames]
+
+
+class TestFlowMagnitude:
+    """flow_magnitude / filter_clips_by_flow (the agong flow-stats port +
+    the --ef 'effective flow' split builder, reference flow_process.py)."""
+
+    def _frame(self, shift):
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 255, (64, 96, 3), np.uint8)
+        return np.roll(base, shift, axis=1)
+
+    def test_static_pair_near_zero(self):
+        a = self._frame(0)
+        assert video_tools.flow_magnitude(a, a) < 0.1
+
+    def test_shifted_pair_sees_motion(self):
+        mag = video_tools.flow_magnitude(self._frame(0), self._frame(6))
+        assert mag > 1.0, mag
+
+    def test_filter_clips_by_flow(self, tmp_path):
+        frames = {"a": self._frame(0), "b": self._frame(6)}
+        clip_file = tmp_path / "clips.pkl"
+        with open(clip_file, "wb") as f:
+            pickle.dump({"train": [["a", "b"], ["a", "a"]]}, f)
+        out_file = str(tmp_path / "kept.pkl")
+        video_tools.filter_clips_by_flow(
+            str(clip_file), out_file, lambda n: frames[n], min_mag=1.0)
+        with open(out_file, "rb") as f:
+            kept = pickle.load(f)
+        assert kept["train"] == [["a", "b"]]
