@@ -134,3 +134,62 @@ def test_multihost_hook_invokes_distributed_init(monkeypatch):
     monkeypatch.setenv("DVIE_MULTIHOST", "1")
     mesh.maybe_init_distributed()
     called.assert_called_once()
+
+
+def test_gan_train_step_ddp_equivalence():
+    """The full single-backward GAN step (VAEHRNet + frame disc, the
+    stop_gradient G/D routing of reference InterGANTrainer.py:438-456) on
+    the 8-device data mesh produces the same params and batch_stats as the
+    single-device run — DDP-equivalence for the most intricate gradient
+    path, not just the plain InterNet step."""
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from deep_video_interpolation_extrapolation_tpu.train import (
+        inter_gan as gan_lib,
+        state as state_lib,
+    )
+
+    h, w, b = 16, 32, 8
+    cfg = Config(
+        runner="INTER", model="InterGANNet", syn_type="inter", mode="xs2xs",
+        compute_dtype="float32", input_h=h, input_w=w, batch_size=b,
+        coarse_model="VAEHRNet", vae=True, gan=True, train_coarse=True,
+        frame_disc=True, train_frame_disc=True,
+    )
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(b, h, w, seed=0).items()}
+    variables = gan_lib.init_variables(cfg, jax.random.PRNGKey(0), batch)
+    state = state_lib.create_train_state(cfg, variables, frozen={})
+    step = jax.jit(gan_lib.make_train_step(cfg))
+    key = jax.random.PRNGKey(1)
+
+    ref_state, ref_losses = step(state, batch, key)
+
+    mesh = create_mesh(8, 1)
+    batch_s = {k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+               for k, v in batch.items()}
+    state_s = jax.device_put(state, replicated_sharding(mesh))
+    shard_state, shard_losses = step(state_s, batch_s, key)
+
+    # Params: like __graft_entry__.dryrun_multichip, the atol bound is
+    # 2.1x the learning rate — Adamax normalizes |update| to exactly lr,
+    # so a reduction-order sign flip of a |g|~0 gradient element moves a
+    # param by up to 2*lr even though the grads agree to float precision.
+    max_lr = max(cfg.coarse_learning_rate, cfg.frame_disc_learning_rate)
+    for name in ref_state.params:
+        ref_leaves = jax.tree_util.tree_leaves(ref_state.params[name])
+        sh_leaves = jax.tree_util.tree_leaves(shard_state.params[name])
+        for a, bb in zip(ref_leaves, sh_leaves):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb),
+                atol=2.1 * max_lr, rtol=1e-4)
+    for a, bb in zip(jax.tree_util.tree_leaves(ref_state.batch_stats),
+                     jax.tree_util.tree_leaves(shard_state.batch_stats)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=2e-5, rtol=2e-5)
+    for k in ref_losses:
+        np.testing.assert_allclose(
+            float(ref_losses[k]), float(shard_losses[k]),
+            atol=2e-5, rtol=2e-5)
