@@ -193,3 +193,55 @@ def test_gan_train_step_ddp_equivalence():
         np.testing.assert_allclose(
             float(ref_losses[k]), float(shard_losses[k]),
             atol=2e-5, rtol=2e-5)
+
+
+def test_extra_rollout_ddp_equivalence():
+    """The autoregressive extrapolation step (2-step rollout with
+    argmax->one-hot seg feedback, reference ExtraTrainer.py:254-310) on the
+    8-device data mesh matches the single-device run — completing the
+    equivalence trio (inter: dryrun_multichip; GAN: above)."""
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+    from deep_video_interpolation_extrapolation_tpu.train import (
+        extra as extra_lib,
+        state as state_lib,
+    )
+
+    h, w, b = 16, 32, 8
+    cfg = Config(
+        runner="EXTRA", model="ExtraNet", syn_type="extra", mode="xs2xs",
+        compute_dtype="float32", input_h=h, input_w=w, batch_size=b,
+        coarse_model="HRNet", train_coarse=True,
+        num_pred_step=2, vid_length=2,
+    )
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(b, h, w, vid_len=4, seed=0).items()}
+    model = registry.build_model(cfg)
+    x = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
+    seg = jnp.concatenate([batch["seg1"], batch["seg2"]], axis=-1)
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        jax.random.PRNGKey(0), x, seg, train=True)
+    state = state_lib.create_train_state(cfg, variables, frozen={})
+    step = jax.jit(extra_lib.make_train_step(cfg, model))
+    key = jax.random.PRNGKey(1)
+
+    ref_state, ref_losses = step(state, batch, key)
+
+    mesh = create_mesh(8, 1)
+    batch_s = {k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+               for k, v in batch.items()}
+    state_s = jax.device_put(state, replicated_sharding(mesh))
+    shard_state, shard_losses = step(state_s, batch_s, key)
+
+    for k in ref_losses:
+        np.testing.assert_allclose(
+            float(ref_losses[k]), float(shard_losses[k]),
+            atol=2e-5, rtol=2e-5)
+    for a, bb in zip(jax.tree_util.tree_leaves(ref_state.params),
+                     jax.tree_util.tree_leaves(shard_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb),
+            atol=2.1 * cfg.coarse_learning_rate, rtol=1e-4)
