@@ -92,19 +92,45 @@ def main():
 
 
 if __name__ == "__main__":
-    # The axon relay can refuse/disconnect transiently (backed-up compiles
-    # from killed jobs surface as UNAVAILABLE backend-init errors for a few
-    # minutes).  Retry a bounded number of times so a flaky moment doesn't
-    # record a benchless round; a hard outage still fails after ~5 min.
-    for attempt in range(4):
-        try:
-            main()
-            break
-        except RuntimeError as e:
-            if attempt == 3 or "UNAVAILABLE" not in str(e):
-                raise
-            import sys
+    import os
+    import subprocess
+    import sys
 
-            print(f"bench: backend unavailable (attempt {attempt + 1}), "
-                  "retrying in 90s", file=sys.stderr)
-            time.sleep(90)
+    if os.environ.get("DVIE_BENCH_CHILD"):
+        main()
+        sys.exit(0)
+
+    # The axon relay can refuse/disconnect transiently (backed-up compiles
+    # from killed jobs surface as UNAVAILABLE backend-init errors) and has
+    # been observed fully down for an hour+.  Retry for up to ~30 min so a
+    # flaky window doesn't record a benchless round.  Each attempt is a
+    # fresh subprocess: jax caches a failed backend init for the life of
+    # the process, so in-process retries can never recover from one.
+    env = dict(os.environ, DVIE_BENCH_CHILD="1")
+    deadline = time.monotonic() + 45 * 60
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            # per-child cap: a down relay can hang a fresh interpreter at
+            # start (sitecustomize backend registration), not just error
+            res = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=30 * 60)
+        except subprocess.TimeoutExpired:
+            print(f"bench: child hung (attempt {attempt})", file=sys.stderr)
+            if time.monotonic() >= deadline:
+                sys.exit(1)
+            continue
+        sys.stderr.write(res.stderr)
+        if res.returncode == 0:
+            sys.stdout.write(res.stdout)
+            break
+        retryable = ("UNAVAILABLE" in res.stderr or "UNAVAILABLE" in res.stdout
+                     or "Unable to initialize backend" in res.stderr)
+        if not retryable or time.monotonic() >= deadline:
+            sys.stdout.write(res.stdout)
+            sys.exit(res.returncode or 1)
+        print(f"bench: backend unavailable (attempt {attempt}), "
+              "retrying in 120s", file=sys.stderr)
+        time.sleep(120)
