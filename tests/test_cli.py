@@ -160,3 +160,28 @@ def test_recipes_doc_commands_parse():
         argv = cmd.split()
         cfg = parse_args(argv)
         assert cfg.model, cmd
+
+
+def test_cli_val_vimeo_triplets(tmp_path):
+    """End-to-end xx2x validation on a Vimeo-triplet tree (reference
+    data.py:95-137): frames come from im1..3.png, seg slots carry zero
+    one-hots, and the same jitted eval step produces the metric set."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for seq in ("00001/0266", "00001/0267"):
+        d = tmp_path / "data" / "sequences" / seq
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.randint(0, 255, (32, 64, 3), dtype=np.uint8)
+            ).save(d / f"im{i + 1}.png")
+    (tmp_path / "data" / "tri_testlist.txt").write_text(
+        "00001/0266\n00001/0267\n")
+    cfg = parse_args(
+        (f"--dataset vimeo --mode xx2x --bs 2 --epochs 1 --disp_interval 2 "
+         f"--compute_dtype float32 --img_dir {tmp_path / 'data'} "
+         "--split val --syn_type inter INTER --model InterNet").split())
+    metrics = run(cfg, exp_dir=str(tmp_path / "exp"))
+    assert np.isfinite(metrics["coarse_psnr"])
+    assert 0 <= metrics["coarse_ssim"] <= 1
