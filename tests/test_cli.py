@@ -185,3 +185,33 @@ def test_cli_val_vimeo_triplets(tmp_path):
     metrics = run(cfg, exp_dir=str(tmp_path / "exp"))
     assert np.isfinite(metrics["coarse_psnr"])
     assert 0 <= metrics["coarse_ssim"] <= 1
+
+
+def test_cli_val_ucf101_triplets(tmp_path):
+    """End-to-end xx2x validation on the UCF101 layout (reference
+    data.py:75-93): pickled 3-frame rows + 256x256 resize."""
+    import pickle
+
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "data" / "ucf101_interp_ours"
+    rows = []
+    for clip in ("v_Basketball_g01_c01", "v_Basketball_g01_c02"):
+        (root / clip).mkdir(parents=True)
+        row = []
+        for i in range(3):
+            rel = os.path.join(clip, f"frame_{i:02d}.png")
+            Image.fromarray(
+                rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+            ).save(root / rel)
+            row.append(rel)
+        rows.append(row)
+    with open(tmp_path / "data" / "UCF101_test_root_clip.pkl", "wb") as f:
+        pickle.dump({"test": rows}, f)
+    cfg = parse_args(
+        (f"--dataset ucf101 --mode xx2x --bs 2 --epochs 1 --disp_interval 2 "
+         f"--compute_dtype float32 --img_dir {root} "
+         "--split val --syn_type inter INTER --model InterNet").split())
+    metrics = run(cfg, exp_dir=str(tmp_path / "exp"))
+    assert np.isfinite(metrics["coarse_psnr"])
