@@ -1,0 +1,86 @@
+"""Serving export: serialize a trained model's forward to StableHLO.
+
+The reference has no deployment story — inference is the training repo
+plus a checkpoint (runners/InterTrainer.py:786-856 ``mini_test``).  For
+production serving this module freezes a composite head's forward
+(params baked in as constants) into a portable `jax.export` artifact:
+
+- one file, self-contained (no Python model code needed at load time);
+- versioned StableHLO with jax.export's compatibility guarantees;
+- multi-platform: export once, run on any platform listed in
+  ``platforms`` (default: the current backend).  Exporting from a CPU
+  host for TPU serving works because tracing is abstract.
+
+Note on Pallas fast paths: the kernel routes gate on the backend *at
+trace time* (core/hw.pallas_enabled).  Exports taken on a CPU host are
+pure XLA (portable everywhere); exports taken on TPU with DVIE_PALLAS=1
+embed Mosaic custom calls and should be served on matching TPU
+runtimes.  Set DVIE_PALLAS=0 while exporting to force the portable
+composition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def forward_fn(cfg, model, variables) -> Callable:
+    """The serving forward: (rgb, seg) -> (rgb_pred, seg_pred).
+
+    Params are closed over (serialized as constants), eval mode, the same
+    call ``mini_test``/cycgen run per window (train/runner.py)."""
+
+    def fwd(rgb, seg):
+        out = model.apply(variables, rgb, seg, train=False)
+        return out[0], out[1]
+
+    return fwd
+
+
+def export_forward(
+    cfg,
+    variables,
+    path: str,
+    model=None,
+    batch_size: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Serialize the model's forward to ``path``; returns ``path``.
+
+    ``batch_size`` defaults to ``cfg.batch_size``; inputs are the
+    flagship interpolation signature: rgb (B,H,W,6), seg (B,H,W,40) in
+    the compute dtype (cli/options.py --compute_dtype).
+    """
+    from jax import export as jex
+
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+
+    if model is None:
+        model = registry.build_model(cfg)
+    b = batch_size or cfg.batch_size
+    dt = registry.compute_dtype(cfg)
+    rgb = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 6), dt)
+    seg = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 40), dt)
+    exported = jex.export(
+        jax.jit(forward_fn(cfg, model, variables)),
+        platforms=tuple(platforms) if platforms else None,
+    )(rgb, seg)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_exported(path: str) -> Callable:
+    """Deserialize an ``export_forward`` artifact into a callable.
+
+    The callable runs under ``jax.jit`` on the current backend; no model
+    code or checkpoint is needed."""
+    from jax import export as jex
+
+    with open(path, "rb") as f:
+        exported = jex.deserialize(bytearray(f.read()))
+    return jax.jit(exported.call)

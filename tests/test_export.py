@@ -1,0 +1,68 @@
+"""Serving export: StableHLO roundtrip through jax.export.
+
+The artifact is self-contained (params baked in); loading it needs no
+model code or checkpoint and reproduces the live forward exactly.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_video_interpolation_extrapolation_tpu.core.config import Config
+from deep_video_interpolation_extrapolation_tpu.models import registry
+from deep_video_interpolation_extrapolation_tpu.tools import export as export_lib
+
+H, W, B = 32, 64, 2
+
+
+def _cfg(**kw):
+    base = dict(
+        runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
+        train_coarse=True, coarse_model="HRNet", compute_dtype="float32",
+        input_h=H, input_w=W, batch_size=B, dataset="synthetic",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_export_roundtrip(tmp_path):
+    cfg = _cfg()
+    model = registry.build_model(cfg)
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    seg = jnp.asarray(
+        np.eye(20, dtype=np.float32)[rng.randint(0, 20, (B, H, W, 2))]
+        .reshape(B, H, W, 40))
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        jax.random.PRNGKey(0), rgb, seg, train=False)
+
+    path = export_lib.export_forward(
+        cfg, variables, str(tmp_path / "internet.stablehlo"), model=model)
+    assert os.path.getsize(path) > 0
+
+    served = export_lib.load_exported(path)
+    out_rgb, out_seg = served(rgb, seg)
+    ref_rgb, ref_seg = model.apply(variables, rgb, seg, train=False)
+    np.testing.assert_allclose(np.asarray(out_rgb), np.asarray(ref_rgb),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_seg), np.asarray(ref_seg),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_export_multiplatform_artifact(tmp_path):
+    """Exporting with platforms=('cpu','tpu') produces one artifact that
+    the current (CPU) backend can serve; the TPU lowering rides along."""
+    cfg = _cfg()
+    model = registry.build_model(cfg)
+    rgb = jnp.zeros((B, H, W, 6), jnp.float32)
+    seg = jnp.zeros((B, H, W, 40), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        jax.random.PRNGKey(0), rgb, seg, train=False)
+    path = export_lib.export_forward(
+        cfg, variables, str(tmp_path / "internet_multi.stablehlo"),
+        model=model, platforms=("cpu", "tpu"))
+    served = export_lib.load_exported(path)
+    out_rgb, _ = served(rgb, seg)
+    assert np.all(np.isfinite(np.asarray(out_rgb)))
