@@ -50,9 +50,12 @@ def export_forward(
 ) -> str:
     """Serialize the model's forward to ``path``; returns ``path``.
 
-    ``batch_size`` defaults to ``cfg.batch_size``; inputs are the
-    flagship interpolation signature: rgb (B,H,W,6), seg (B,H,W,40) in
-    the compute dtype (cli/options.py --compute_dtype).
+    ``batch_size`` defaults to ``cfg.batch_size``; the input signature
+    follows the head: 2 input frames (rgb (B,H,W,6), seg (B,H,W,40)) for
+    interpolation and plain extrapolation, 3 for ``--fix_init_frames``
+    extrapolation — in the compute dtype (--compute_dtype).  GAN heads
+    export their generator's eval forward (prior-z VAE path); the
+    discriminators are training-only and are not serialized.
     """
     from jax import export as jex
 
@@ -62,8 +65,9 @@ def export_forward(
         model = registry.build_model(cfg)
     b = batch_size or cfg.batch_size
     dt = registry.compute_dtype(cfg)
-    rgb = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 6), dt)
-    seg = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 40), dt)
+    n_in = 3 if (cfg.syn_type == "extra" and cfg.fix_init_frames) else 2
+    rgb = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 3 * n_in), dt)
+    seg = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 20 * n_in), dt)
     exported = jex.export(
         jax.jit(forward_fn(cfg, model, variables)),
         platforms=tuple(platforms) if platforms else None,

@@ -66,3 +66,23 @@ def test_export_multiplatform_artifact(tmp_path):
     served = export_lib.load_exported(path)
     out_rgb, _ = served(rgb, seg)
     assert np.all(np.isfinite(np.asarray(out_rgb)))
+
+
+def test_export_extranet(tmp_path):
+    """The extrapolation head exports with the same API; its output pair is
+    (rgb rollout chunk, seg logits)."""
+    cfg = _cfg(runner="EXTRA", model="ExtraNet", syn_type="extra")
+    model = registry.build_model(cfg)
+    rgb = jnp.zeros((B, H, W, 6), jnp.float32)
+    seg = jnp.zeros((B, H, W, 40), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        jax.random.PRNGKey(0), rgb, seg, train=False)
+    path = export_lib.export_forward(
+        cfg, variables, str(tmp_path / "extranet.stablehlo"), model=model)
+    served = export_lib.load_exported(path)
+    out_rgb, out_seg = served(rgb, seg)
+    ref_rgb, ref_seg = model.apply(variables, rgb, seg, train=False)[:2]
+    np.testing.assert_allclose(np.asarray(out_rgb), np.asarray(ref_rgb),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_seg), np.asarray(ref_seg),
+                               atol=1e-6, rtol=1e-6)
