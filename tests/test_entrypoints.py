@@ -70,6 +70,54 @@ def test_dryrun_device_resolution_probes_default():
     assert all(d.platform == "cpu" for d in devs)
 
 
+def test_dryrun_device_resolution_survives_hung_default(monkeypatch):
+    """A wedged relay-backed plugin can HANG (not raise) on first use
+    (observed 2026-08-18: backend init blocked for hours).  The probe runs
+    under a watchdog thread; on timeout the dryrun must fall back to the
+    CPU client."""
+    import time
+
+    real_devices = jax.devices
+
+    def hanging(backend=None):
+        if backend is None:
+            time.sleep(3600)
+        return real_devices(backend)
+
+    monkeypatch.setattr(graft, "_PROBE_TIMEOUT", 2.0)
+    monkeypatch.setattr(jax, "devices", hanging)
+    devs = graft._resolve_dryrun_devices(4)
+    assert all(d.platform == "cpu" for d in devs)
+
+
+def test_dryrun_pins_platform_before_discovery():
+    """In a fresh process with the driver's virtual-CPU signature
+    (xla_force_host_platform_device_count) and no JAX_PLATFORMS, the
+    dryrun must restrict backend discovery to CPU BEFORE any jax call —
+    a hung TPU plugin init is uncatchable after the fact."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import os, sys\n"
+        "sys.path.insert(0, '.')\n"
+        "import __graft_entry__ as graft\n"
+        "devs = graft._resolve_dryrun_devices(8)\n"
+        "assert os.environ.get('JAX_PLATFORMS') == 'cpu', os.environ.get('JAX_PLATFORMS')\n"
+        "assert len(devs) == 8 and all(d.platform == 'cpu' for d in devs)\n"
+        "print('PIN_OK')\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME",
+                        "PALLAS_AXON_POOL_IPS")}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    res = subprocess.run([_sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "PIN_OK" in res.stdout
+
+
 def test_dryrun_with_tpu_default_backend_simulated(monkeypatch):
     """The driver's real multichip environment keeps a TPU plugin as the
     DEFAULT backend while the dryrun places everything on the CPU client.
