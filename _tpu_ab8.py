@@ -182,12 +182,18 @@ def main() -> None:
             run_logged("DVIE_UPSHEAD_FOLD=1", [PY, "bench.py"],
                        {"DVIE_UPSHEAD_FOLD": "1"})
 
-    # trace last (writes /tmp/dvie_trace_r2b)
+    # traces last (forward: /tmp/dvie_trace_r2b; train step: _train_r2)
     trace_dir = "/tmp/dvie_trace_r2b"
     if not (os.path.isdir(trace_dir) and os.listdir(trace_dir)):
         if wait_relay(deadline):
             run_logged("AB8 trace", [PY, "tools_trace.py", "--iters", "4",
                                      "--out", trace_dir, "--top", "60"], {})
+    train_dir = "/tmp/dvie_trace_train_r2"
+    if not (os.path.isdir(train_dir) and os.listdir(train_dir)):
+        if wait_relay(deadline):
+            run_logged("AB8 train trace",
+                       [PY, "tools_trace.py", "--train", "--iters", "4",
+                        "--out", train_dir, "--top", "80"], {}, timeout=3600)
     log_append(f"=== AB8_COMPLETE {time.strftime('%F %T')} ===")
 
 

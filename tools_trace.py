@@ -9,6 +9,7 @@ via dead-code elimination; see README perf notes).
 
 Usage:
     python tools_trace.py [--iters 4] [--out /tmp/dvie_trace] [--top 60]
+    python tools_trace.py --train [--hw 512,1024] [--batch 8]
     python tools_trace.py --parse-only --out /tmp/dvie_trace
 """
 
@@ -64,6 +65,70 @@ def run_trace(out_dir: str, iters: int, batch: int = 8) -> None:
     with jax.profiler.trace(out_dir):
         float(forward_loop(rgb, seg))
     print("trace written to", out_dir)
+
+
+def run_trace_train(out_dir: str, iters: int, batch: int,
+                    h: int = 512, w: int = 1024) -> None:
+    """Trace the full InterNet train step (fwd + bwd + Adamax update) —
+    the breakdown the backward-pass kernel work needs.  Hoist-proof: the
+    scan carries the train state, so params change every iteration and no
+    model compute is loop-invariant."""
+    import jax
+    import jax.numpy as jnp
+    from deep_video_interpolation_extrapolation_tpu.core.cache import (
+        enable_compilation_cache,
+    )
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+    from deep_video_interpolation_extrapolation_tpu.train import (
+        inter,
+        state as state_lib,
+    )
+    from deep_video_interpolation_extrapolation_tpu.train.common import (
+        init_vgg_frozen,
+    )
+
+    enable_compilation_cache()
+    cfg = Config(
+        runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
+        train_coarse=True, coarse_model="HRNet", compute_dtype="bfloat16",
+        input_h=h, input_w=w, batch_size=batch, dataset="synthetic",
+    )
+    model = registry.build_model(cfg)
+    dt = registry.compute_dtype(cfg)
+    rgb = jnp.zeros((batch, h, w, 6), dt)
+    seg = jnp.zeros((batch, h, w, 40), dt)
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        k0, rgb, seg, train=True)
+    frozen = ({} if not cfg.vgg_weight else {"vgg": init_vgg_frozen(cfg, k1)})
+    state = state_lib.create_train_state(cfg, variables, frozen=frozen)
+    batch_d = {
+        "frame1": jax.random.uniform(k2, (batch, h, w, 3), jnp.float32, -1, 1),
+        "frame2": jax.random.uniform(k2, (batch, h, w, 3), jnp.float32, -1, 1),
+        "frame3": jax.random.uniform(k2, (batch, h, w, 3), jnp.float32, -1, 1),
+        "seg1": jax.nn.one_hot(jnp.zeros((batch, h, w), jnp.int32), 20),
+        "seg2": jax.nn.one_hot(jnp.zeros((batch, h, w), jnp.int32), 20),
+        "seg3": jax.nn.one_hot(jnp.zeros((batch, h, w), jnp.int32), 20),
+    }
+    step = inter.make_train_step(cfg, model)
+
+    @jax.jit
+    def loop(state, batch, rng):
+        def body(carry, _):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            st, losses = step(st, batch, sub)
+            return (st, key), losses["loss_all"]
+        (st, _), ls = jax.lax.scan(body, (state, rng), None, length=iters)
+        return st, jnp.sum(ls)
+
+    st, s = loop(state, batch_d, jax.random.PRNGKey(1))
+    float(s)  # compile + warm
+    with jax.profiler.trace(out_dir):
+        _, s = loop(state, batch_d, jax.random.PRNGKey(1))
+        float(s)
+    print("train trace written to", out_dir)
 
 
 _FUSION = re.compile(r"^(\%?[\w\.\-]+)")
@@ -130,7 +195,14 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="/tmp/dvie_trace")
     ap.add_argument("--top", type=int, default=60)
     ap.add_argument("--parse-only", action="store_true")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the full train step instead of the forward")
+    ap.add_argument("--hw", default="512,1024")
     a = ap.parse_args()
     if not a.parse_only:
-        run_trace(a.out, a.iters, a.batch)
+        if a.train:
+            h, w = (int(v) for v in a.hw.split(","))
+            run_trace_train(a.out, a.iters, a.batch, h, w)
+        else:
+            run_trace(a.out, a.iters, a.batch)
     parse_trace(a.out, a.top, a.iters)
