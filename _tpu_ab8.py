@@ -125,6 +125,8 @@ def main() -> None:
     jobs = [
         # (block-header prefix, success substring, argv, env)
         ("bench HEAD*", '"vs_baseline"', [PY, "bench.py"], {}),
+        ("bs=1", "fps",
+         [PY, "tools_fwdbench.py", "--bs", "1"], {}),
         ("bs=12", "fps",
          [PY, "tools_fwdbench.py", "--bs", "12"], {}),
         ("bs=16", "fps",
