@@ -12,7 +12,12 @@ round trip), params change every step so no model compute can hoist.
 VGG loss runs with randomly initialized frozen weights — identical FLOPs
 to the pretrained ones.
 
+``--gan`` switches to the author's VAE-GAN "suitable params" recipe
+(docs/RECIPES.md §4; reference cmd:196-209): VAEHRNet coarse + the four
+SN discriminator families, KLD + hinge losses, single-backward G+D.
+
 Usage: python tools_trainbench.py [--bs 24] [--hw 128,128] [--iters 10]
+                                  [--gan]
 Prints one JSON line {"metric", "value", "unit", "config"}.
 """
 
@@ -29,6 +34,9 @@ def main():
     ap.add_argument("--hw", type=str, default="128,128")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-vgg", action="store_true")
+    ap.add_argument("--gan", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split(","))
 
@@ -48,31 +56,66 @@ def main():
     )
 
     enable_compilation_cache()
-    cfg = Config(
-        runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
-        train_coarse=True, coarse_model="HRNet", compute_dtype="bfloat16",
-        input_h=h, input_w=w, batch_size=args.bs, dataset="synthetic",
-    )
-    model = registry.build_model(cfg)
     b = args.bs
-    rgb = jnp.zeros((b, h, w, 6), jnp.bfloat16)
-    seg = jnp.zeros((b, h, w, 40), jnp.bfloat16)
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
-    variables = jax.jit(model.init, static_argnames=["train"])(
-        k0, rgb, seg, train=True)
-    frozen = ({} if args.no_vgg or not cfg.vgg_weight
-              else {"vgg": init_vgg_frozen(cfg, k1)})
-    state = state_lib.create_train_state(cfg, variables, frozen=frozen)
+    if args.gan:
+        # the author's VAE-GAN recipe (cmd:196-209): VAEHRNet + four SN
+        # discriminator families, single combined backward
+        from deep_video_interpolation_extrapolation_tpu.data.synthetic import (
+            synthetic_batch,
+        )
+        from deep_video_interpolation_extrapolation_tpu.train import inter_gan
 
-    batch = {
-        "frame1": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
-        "frame2": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
-        "frame3": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
-        "seg1": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
-        "seg2": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
-        "seg3": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
-    }
-    step = inter.make_train_step(cfg, model)
+        cfg = Config(
+            runner="INTER", model="InterGANNet", syn_type="inter",
+            mode="xs2xs", compute_dtype=args.dtype,
+            input_h=h, input_w=w, batch_size=b, dataset="synthetic",
+            coarse_model="VAEHRNet", vae=True, gan=True, train_coarse=True,
+            frame_disc=True, train_frame_disc=True,
+            frame_disc_model="FrameSNDiscriminator",
+            video_disc=True, train_video_disc=True,
+            video_disc_model="VideoSNDiscriminator",
+            frame_det_disc=True, train_frame_det_disc=True,
+            frame_det_disc_model="FrameSNDetDiscriminator",
+            video_det_disc=True, train_video_det_disc=True,
+            video_det_disc_model="VideoLSSNDetDiscriminator",
+            num_track_per_img=10,
+        )
+        batch = {k: jnp.asarray(v)
+                 for k, v in synthetic_batch(
+                     b, h, w, n_track=cfg.num_track_per_img, seed=0).items()}
+        variables = inter_gan.init_variables(cfg, k0, batch)
+        frozen = ({} if args.no_vgg or not cfg.vgg_weight
+                  else {"vgg": init_vgg_frozen(cfg, k1)})
+        state = state_lib.create_train_state(cfg, variables, frozen=frozen)
+        step = inter_gan.make_train_step(cfg)
+        metric = "intergannet_vaehrnet_train_step_rate"
+    else:
+        cfg = Config(
+            runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
+            train_coarse=True, coarse_model="HRNet",
+            compute_dtype=args.dtype,
+            input_h=h, input_w=w, batch_size=b, dataset="synthetic",
+        )
+        model = registry.build_model(cfg)
+        dt = registry.compute_dtype(cfg)
+        rgb = jnp.zeros((b, h, w, 6), dt)
+        seg = jnp.zeros((b, h, w, 40), dt)
+        variables = jax.jit(model.init, static_argnames=["train"])(
+            k0, rgb, seg, train=True)
+        frozen = ({} if args.no_vgg or not cfg.vgg_weight
+                  else {"vgg": init_vgg_frozen(cfg, k1)})
+        state = state_lib.create_train_state(cfg, variables, frozen=frozen)
+        batch = {
+            "frame1": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
+            "frame2": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
+            "frame3": jax.random.uniform(k2, (b, h, w, 3), jnp.float32, -1, 1),
+            "seg1": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
+            "seg2": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
+            "seg3": jax.nn.one_hot(jnp.zeros((b, h, w), jnp.int32), 20),
+        }
+        step = inter.make_train_step(cfg, model)
+        metric = "internet_hrnet_train_step_rate"
 
     @jax.jit
     def loop(state, batch, rng):
@@ -96,11 +139,12 @@ def main():
         best = dt if best is None else min(best, dt)
     sps = args.iters / best
     print(json.dumps({
-        "metric": "internet_hrnet_train_step_rate",
+        "metric": metric,
         "value": round(sps, 3),
         "unit": "steps/sec/chip",
         "frames_per_sec": round(sps * b, 2),
-        "config": f"bs{b}_{h}x{w}_bf16_vgg={not args.no_vgg}",
+        "config": f"bs{b}_{h}x{w}_{args.dtype}_vgg={not args.no_vgg}"
+                  + ("_gan" if args.gan else ""),
     }))
 
 
