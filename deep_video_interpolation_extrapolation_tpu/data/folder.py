@@ -318,6 +318,17 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_guarded(item) -> None:
+            # every producer put must respect `stop`: an unguarded
+            # blocking put strands this thread forever when the consumer
+            # abandons the iterator with the bounded queue full
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
         def produce(pool):
             try:
                 # submit up to prefetch+1 batches of sample futures ahead
@@ -343,16 +354,11 @@ class Loader:
                     if bi_next < nb:
                         pending.append(submit(bi_next))
                         bi_next += 1
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                    put_guarded(batch)
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_guarded(e)
                 return
-            q.put(None)
+            put_guarded(None)
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             t = threading.Thread(target=produce, args=(pool,), daemon=True)

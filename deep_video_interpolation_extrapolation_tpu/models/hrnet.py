@@ -134,15 +134,43 @@ class HighResolutionModule(nn.Module):
             if i == 0:
                 y0_packed = packable
                 if packable and not self.keep_packed_out0:
-                    # keep the packed tensor too: the j<i stride-2 fuse
-                    # convs consume it directly (packed_io), so the
-                    # unpacked copy has exactly ONE conv consumer (the
-                    # out-0 fuse sum) — with two consumers XLA materializes
-                    # a second full-res relayout copy (~3.1 ms/stage at
-                    # 8x512x1024 bf16, trace-verified)
-                    y0_packed_t = h
-                    h = unpack_w(h, 2)
-                    y0_packed = False
+                    keep_for_contract = False
+                    if self.fuse0_packed_out:
+                        # the NEXT stage was built to consume a PACKED
+                        # out-0 (branch0_packed); if the fused out-0
+                        # kernel cannot run at this shape, the generic
+                        # path must still emit packed (keep_packed_out0
+                        # semantics) — an unpacked emission here would
+                        # break the cross-stage packing contract and trip
+                        # the consumer BasicBlock's channel assert
+                        import os as _os2
+
+                        from deep_video_interpolation_extrapolation_tpu.core.hw import (
+                            pallas_enabled as _pe2,
+                        )
+                        from deep_video_interpolation_extrapolation_tpu.ops import (
+                            pallas_fuse0 as _pf0,
+                        )
+                        t1_proxy = _jax.ShapeDtypeStruct(
+                            (h.shape[0], xs[1].shape[1], xs[1].shape[2],
+                             self.num_channels[0]), h.dtype)
+                        keep_for_contract = not (
+                            self.num_branches in (2, 3)
+                            and self.multi_scale_output
+                            and not self.spatial_sharded and _pe2()
+                            and _os2.environ.get("DVIE_FUSE0", "1") != "0"
+                            and _pf0.fits(h, t1_proxy))
+                    if not keep_for_contract:
+                        # keep the packed tensor too: the j<i stride-2
+                        # fuse convs consume it directly (packed_io), so
+                        # the unpacked copy has exactly ONE conv consumer
+                        # (the out-0 fuse sum) — with two consumers XLA
+                        # materializes a second full-res relayout copy
+                        # (~3.1 ms/stage at 8x512x1024 bf16,
+                        # trace-verified)
+                        y0_packed_t = h
+                        h = unpack_w(h, 2)
+                        y0_packed = False
             ys.append(h)
         if self.num_branches == 1:
             return ys
@@ -620,12 +648,8 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
             out = taps_shifted_add(yt, co)
             out = out + jnp.concatenate([b2r, b2s]).astype(dt)
             return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
-        size = parts[0].shape[1:3]
-        ups = [parts[0]] + [
-            interpolate_bilinear(t, size=size, align_corners=False)
-            for t in parts[1:]
-        ]
-        feat = jnp.concatenate(ups, axis=-1)
+        # fits4 miss: fall through to the shared unfused tail below
+        feat = _concat_pyramid(parts)
         return rgb_head(feat), seg_head(feat)
     use_fused = (pallas_enabled() and not highres_large
                  and not spatial_sharded
@@ -668,15 +692,21 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
                 return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
             h = pallas_upshead.ups_head_1x1(*parts, w1, b1)
             return rgb_head(None, h1=h[..., :cin]), seg_head(None, h1=h[..., cin:])
-        size = parts[0].shape[1:3]
-        ups = [parts[0]] + [
-            interpolate_bilinear(t, size=size, align_corners=False)
-            for t in parts[1:]
-        ]
-        feat = jnp.concatenate(ups, axis=-1)
+        feat = _concat_pyramid(parts)
     else:
         feat = run_backbone(False)
     return rgb_head(feat), seg_head(feat)
+
+
+def _concat_pyramid(parts) -> jnp.ndarray:
+    """Unfused tail shared by every fits-miss fallback: bilinear-upsample
+    the pyramid to branch-0 resolution and channel-concat."""
+    size = parts[0].shape[1:3]
+    ups = [parts[0]] + [
+        interpolate_bilinear(t, size=size, align_corners=False)
+        for t in parts[1:]
+    ]
+    return jnp.concatenate(ups, axis=-1)
 
 
 def _encode_inputs(

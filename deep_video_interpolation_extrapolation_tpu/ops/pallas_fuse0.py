@@ -127,7 +127,12 @@ def _kernel(y0_ref, t1_ref, t2_ref, out_ref, s1, sems, *,
 def fits(y0p: jnp.ndarray, t1: jnp.ndarray) -> bool:
     b, h, wp, c2 = y0p.shape
     w = 2 * wp
-    return (c2 == 128 and h % TH == 0 and (w // 4) % 8 == 0
+    # w % 4 == 0: _impl views the f2-packed input as f4 cells
+    # (reshape (B,H,W/2,2C) -> (B,H,W/4,4C)), which needs an even W/2 —
+    # an odd wp (W ≡ 2 mod 4) passed the (w//4) floor-division check but
+    # crashed the reshape
+    return (c2 == 128 and h % TH == 0 and w % 4 == 0
+            and (w // 4) % 8 == 0
             and t1.shape[1] == h // 2 and t1.shape[2] == w // 2)
 
 

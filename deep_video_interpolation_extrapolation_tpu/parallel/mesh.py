@@ -53,10 +53,22 @@ def maybe_init_distributed() -> None:
     if int(os.environ.get("DVIE_MULTIHOST", "0")):
         kw = {}
         if os.environ.get("DVIE_COORDINATOR"):
+            nproc = os.environ.get("DVIE_NUM_PROCS")
+            pid = os.environ.get("DVIE_PROC_ID")
+            if nproc is None or pid is None:
+                raise RuntimeError(
+                    "DVIE_COORDINATOR is set but the rendezvous contract "
+                    "needs all three variables: DVIE_COORDINATOR=<host:port>"
+                    ", DVIE_NUM_PROCS=<N>, DVIE_PROC_ID=<0..N-1> "
+                    f"(got DVIE_NUM_PROCS={nproc!r}, DVIE_PROC_ID={pid!r})")
+            if not 0 <= int(pid) < int(nproc):
+                raise RuntimeError(
+                    f"DVIE_PROC_ID={pid} out of range for "
+                    f"DVIE_NUM_PROCS={nproc}")
             kw = dict(
                 coordinator_address=os.environ["DVIE_COORDINATOR"],
-                num_processes=int(os.environ["DVIE_NUM_PROCS"]),
-                process_id=int(os.environ["DVIE_PROC_ID"]),
+                num_processes=int(nproc),
+                process_id=int(pid),
             )
         jax.distributed.initialize(**kw)
 

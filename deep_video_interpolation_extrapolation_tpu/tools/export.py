@@ -27,15 +27,32 @@ import jax
 import jax.numpy as jnp
 
 
+def _needs_noise_rng(cfg) -> bool:
+    """VAE generators sample prior z at eval via the 'noise' rng
+    (models/hrnet.py VAEHRNet, models/vae_video.py)."""
+    return bool(getattr(cfg, "vae", False)
+                or cfg.coarse_model == "VAEHRNet"
+                or cfg.model in ("VAE", "VAE_S", "VAE_SD"))
+
+
 def forward_fn(cfg, model, variables) -> Callable:
     """The serving forward: (rgb, seg) -> (rgb_pred, seg_pred).
 
     Params are closed over (serialized as constants), eval mode, the same
-    call ``mini_test``/cycgen run per window (train/runner.py)."""
+    call ``mini_test``/cycgen run per window (train/runner.py).  VAE/GAN
+    generators additionally take a leading int32 ``seed`` scalar: their
+    eval path samples prior z from the 'noise' rng, so the exported
+    signature is (seed, rgb, seg) and serving controls the draw."""
 
-    def fwd(rgb, seg):
-        out = model.apply(variables, rgb, seg, train=False)
-        return out[0], out[1]
+    if _needs_noise_rng(cfg):
+        def fwd(seed, rgb, seg):
+            out = model.apply(variables, rgb, seg, train=False,
+                              rngs={"noise": jax.random.PRNGKey(seed)})
+            return out[0], out[1]
+    else:
+        def fwd(rgb, seg):
+            out = model.apply(variables, rgb, seg, train=False)
+            return out[0], out[1]
 
     return fwd
 
@@ -54,8 +71,11 @@ def export_forward(
     follows the head: 2 input frames (rgb (B,H,W,6), seg (B,H,W,40)) for
     interpolation and plain extrapolation, 3 for ``--fix_init_frames``
     extrapolation — in the compute dtype (--compute_dtype).  GAN heads
-    export their generator's eval forward (prior-z VAE path); the
-    discriminators are training-only and are not serialized.
+    export their generator's eval forward (prior-z VAE path) with a
+    leading int32 ``seed`` scalar input for the z draw; the
+    discriminators are training-only and are not serialized.  TrackGen
+    branches are not exported (they need per-frame boxes; serving uses
+    the coarse generator, like the reference's cycgen).
     """
     from jax import export as jex
 
@@ -68,10 +88,12 @@ def export_forward(
     n_in = 3 if (cfg.syn_type == "extra" and cfg.fix_init_frames) else 2
     rgb = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 3 * n_in), dt)
     seg = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 20 * n_in), dt)
+    sig = ((rgb, seg) if not _needs_noise_rng(cfg)
+           else (jax.ShapeDtypeStruct((), jnp.int32), rgb, seg))
     exported = jex.export(
         jax.jit(forward_fn(cfg, model, variables)),
         platforms=tuple(platforms) if platforms else None,
-    )(rgb, seg)
+    )(*sig)
     data = exported.serialize()
     with open(path, "wb") as f:
         f.write(data)

@@ -371,6 +371,8 @@ class Runner:
             # sync anywhere) — materialize only at disp_interval
             pending.append(losses)
             comp_t += time.time() - t0
+            t0 = time.time()  # restart: the readback span below must not
+            # re-count the dispatch interval just accumulated
             if profile_dir and i == 6:
                 jax.profiler.stop_trace()
                 profile_dir = None

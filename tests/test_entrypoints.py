@@ -104,8 +104,11 @@ def test_dryrun_pins_platform_before_discovery():
         "sys.path.insert(0, '.')\n"
         "import __graft_entry__ as graft\n"
         "devs = graft._resolve_dryrun_devices(8)\n"
-        "assert os.environ.get('JAX_PLATFORMS') == 'cpu', os.environ.get('JAX_PLATFORMS')\n"
+        "import jax\n"
+        "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
         "assert len(devs) == 8 and all(d.platform == 'cpu' for d in devs)\n"
+        "# the pin is dropped after discovery so children don't inherit it\n"
+        "assert 'JAX_PLATFORMS' not in os.environ\n"
         "print('PIN_OK')\n"
     )
     env = {k: v for k, v in os.environ.items()

@@ -68,6 +68,39 @@ def test_export_multiplatform_artifact(tmp_path):
     assert np.all(np.isfinite(np.asarray(out_rgb)))
 
 
+def test_export_vae_generator(tmp_path):
+    """VAE generators (the GAN recipe's coarse model) sample prior z at
+    eval from the 'noise' rng; their export takes a leading int32 seed
+    input and reproduces the live forward for the same seed.  This used
+    to crash with an unfulfilled-rng error."""
+    cfg = _cfg(coarse_model="VAEHRNet", vae=True)
+    model = registry.build_model(cfg)
+    rng = np.random.RandomState(1)
+    rgb = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    seg = jnp.asarray(
+        np.eye(20, dtype=np.float32)[rng.randint(0, 20, (B, H, W, 2))]
+        .reshape(B, H, W, 40))
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        rgb, seg, train=False)
+
+    path = export_lib.export_forward(
+        cfg, variables, str(tmp_path / "vaehrnet.stablehlo"), model=model)
+    served = export_lib.load_exported(path)
+    seed = jnp.int32(42)
+    out_rgb, out_seg = served(seed, rgb, seg)
+    ref_rgb, ref_seg = model.apply(
+        variables, rgb, seg, train=False,
+        rngs={"noise": jax.random.PRNGKey(seed)})
+    np.testing.assert_allclose(np.asarray(out_rgb), np.asarray(ref_rgb),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_seg), np.asarray(ref_seg),
+                               atol=1e-6, rtol=1e-6)
+    # a different seed draws a different prior z
+    out2_rgb, _ = served(jnp.int32(7), rgb, seg)
+    assert not np.allclose(np.asarray(out2_rgb), np.asarray(out_rgb))
+
+
 def test_export_extranet(tmp_path):
     """The extrapolation head exports with the same API; its output pair is
     (rgb rollout chunk, seg logits)."""

@@ -160,6 +160,63 @@ def test_module_wiring_stage2_stage3(monkeypatch):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_fits_rejects_odd_packed_width():
+    """W ≡ 2 (mod 4): the (w//4) floor-division lane check used to pass
+    but the kernel's f2->f4 input reshape is impossible (129*128 !=
+    64*256) — fits() must reject it."""
+    y0p = jax.ShapeDtypeStruct((1, 8, 129, 128), jnp.float32)
+    t1 = jax.ShapeDtypeStruct((1, 4, 129, 64), jnp.float32)
+    assert not pallas_fuse0.fits(y0p, t1)
+    y0p_ok = jax.ShapeDtypeStruct((1, 8, 128, 128), jnp.float32)
+    t1_ok = jax.ShapeDtypeStruct((1, 4, 128, 64), jnp.float32)
+    assert pallas_fuse0.fits(y0p_ok, t1_ok)
+
+
+def test_module_packed_out_contract_when_fuse0_unfittable(monkeypatch):
+    """``fuse0_packed_out=True`` promises the NEXT stage a packed out-0.
+    At a shape the fused kernel cannot run (W=272: (272//4)%8 != 0) the
+    module must still emit packed out-0 via the generic path — it used to
+    emit UNPACKED and trip the consumer stage's packed BasicBlock channel
+    assert (valid CLI resolutions like 512x272 crashed at trace time)."""
+    from deep_video_interpolation_extrapolation_tpu.core import hw
+    from deep_video_interpolation_extrapolation_tpu.models.hrnet import (
+        STAGE2_CFG,
+        HighResolutionModule,
+    )
+    from deep_video_interpolation_extrapolation_tpu.ops import pallas_ae_conv
+
+    # interpret-mode reroutes for any kernels the packed blocks reach
+    orig_ae = pallas_ae_conv._impl
+    monkeypatch.setattr(
+        pallas_ae_conv, "_impl",
+        lambda xp, k, res, relu, f=2, interpret=False: orig_ae(
+            xp, k, res, relu, f, interpret=True))
+    orig_hwnc = pallas_ae_conv._impl_hwnc
+    monkeypatch.setattr(
+        pallas_ae_conv, "_impl_hwnc",
+        lambda x, k, res, relu, f=2, interpret=False, bias=None: orig_hwnc(
+            x, k, res, relu, f, True, bias))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(hw, "pallas_enabled", lambda: True)
+    monkeypatch.setenv("DVIE_FUSE0", "1")
+
+    rng = np.random.RandomState(7)
+    xs = [jnp.asarray(rng.uniform(-1, 1, (1, 8, 272, 64)), jnp.float32),
+          jnp.asarray(rng.uniform(-1, 1, (1, 4, 136, 128)), jnp.float32)]
+    m_plain = HighResolutionModule(dtype=jnp.float32, **STAGE2_CFG)
+    params = m_plain.init(jax.random.PRNGKey(0), xs)
+    ref = m_plain.apply(params, xs)
+
+    m = HighResolutionModule(dtype=jnp.float32, branch0_packed=True,
+                             fuse0_packed_out=True, **STAGE2_CFG)
+    out = m.apply(params, [pack_w(xs[0], 2), xs[1]])
+    assert out[0].shape == (1, 8, 136, 128), out[0].shape  # packed out-0
+    np.testing.assert_allclose(np.asarray(unpack_w(out[0], 2)),
+                               np.asarray(ref[0]), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_highres_large_packed_backbone(monkeypatch):
     """DVIE_HL4_PACK=1: branch-0 stays packed through stage4 (stage3
     fuse-out0 packed -> transition3 passthrough -> stage4 packed chain ->
