@@ -158,7 +158,13 @@ class TestWorkerLoader:
             list(par)
 
     def test_worker_loader_early_abandon(self):
-        """Dropping the iterator mid-epoch must not deadlock the producer."""
+        """Dropping the iterator mid-epoch must not deadlock OR strand the
+        producer: the terminal queue puts must respect the stop event (an
+        unguarded q.put(None) used to block forever on a full queue,
+        leaking the thread and its decoded batches)."""
+        import threading
+        import time as _time
+
         class DS:
             def __len__(self):
                 return 64
@@ -166,10 +172,20 @@ class TestWorkerLoader:
             def sample(self, i, rng):
                 return {"x": np.zeros((2,), np.float32)}
 
-        par = Loader(DS(), batch_size=2, num_workers=2, shuffle=False)
+        before = set(threading.enumerate())
+        par = Loader(DS(), batch_size=2, num_workers=2, shuffle=False,
+                     prefetch=1)  # tiny queue: guarantees it is full
         it = iter(par)
         next(it)
         it.close()  # triggers the finally/stop path
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            leaked = [t for t in set(threading.enumerate()) - before
+                      if t.is_alive()]
+            if not leaked:
+                break
+            _time.sleep(0.1)
+        assert not leaked, f"loader threads still alive: {leaked}"
 
 
 class TestTripletDatasets:
