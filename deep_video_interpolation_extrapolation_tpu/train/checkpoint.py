@@ -56,11 +56,50 @@ def load_checkpoint(path: str):
     return ckptr.restore(os.path.abspath(path))
 
 
+def _restructure(target, restored):
+    """Rebuild ``restored`` (an orbax raw restore: namedtuples flattened
+    to field-keyed dicts, tuples to lists or index-keyed dicts) in the
+    structure of ``target``.
+
+    PyTreeCheckpointer.restore without a target loses optax's container
+    types; merging a dict-shaped opt state into TrainState.opt_states made
+    the first resumed train step fail on ``state.mu`` attribute access.
+    Field-name (not order) matching keeps it robust to dict key sorting.
+    """
+    if restored is None:
+        # orbax collapses leafless containers (optax EmptyState, empty
+        # dicts) to None on save; keep the target's container
+        return target if not jax.tree_util.tree_leaves(target) else restored
+    if isinstance(target, tuple) and hasattr(target, "_fields"):  # namedtuple
+        if isinstance(restored, dict):
+            return type(target)(**{
+                f: _restructure(getattr(target, f), restored[f])
+                for f in target._fields})
+        if isinstance(restored, (list, tuple)):
+            return type(target)(*[
+                _restructure(t, r) for t, r in zip(target, restored)])
+    if isinstance(target, (list, tuple)):
+        if isinstance(restored, dict):  # tuples stored as {'0': ..., '1': ...}
+            seq = [_restructure(t, restored[str(i)])
+                   for i, t in enumerate(target)]
+        elif isinstance(restored, (list, tuple)) and len(restored) == len(target):
+            seq = [_restructure(t, r) for t, r in zip(target, restored)]
+        else:
+            return restored
+        return tuple(seq) if isinstance(target, tuple) else seq
+    if isinstance(target, dict) and isinstance(restored, dict):
+        return {k: (_restructure(target[k], restored[k])
+                    if k in restored else target[k]) for k in target}
+    return restored
+
+
 def selective_load(state: TrainState, ckpt, submodels: Optional[Iterable[str]] = None,
                    load_opt: bool = True) -> TrainState:
     """Merge chosen submodel subtrees from ``ckpt`` into ``state``.
 
-    ``submodels=None`` loads everything present in both trees.
+    ``submodels=None`` loads everything present in both trees.  Optimizer
+    subtrees are re-structured against the live state so optax's
+    namedtuple states survive the raw orbax restore.
     """
     params = dict(state.params)
     opt_states = dict(state.opt_states)
@@ -72,7 +111,8 @@ def selective_load(state: TrainState, ckpt, submodels: Optional[Iterable[str]] =
         if ckpt.get("batch_stats") and name in ckpt["batch_stats"]:
             batch_stats[name] = ckpt["batch_stats"][name]
         if load_opt and name in ckpt.get("opt_states", {}) and name in opt_states:
-            opt_states[name] = ckpt["opt_states"][name]
+            opt_states[name] = _restructure(
+                state.opt_states[name], ckpt["opt_states"][name])
     return state.replace(params=params, opt_states=opt_states,
                          batch_stats=batch_stats)
 

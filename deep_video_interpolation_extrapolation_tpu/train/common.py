@@ -28,6 +28,18 @@ def init_vgg_frozen(cfg: Config, rng) -> Dict[str, Any]:
     return vgg.init(rng, sample)["params"]
 
 
+def init_resnet_frozen(cfg: Config, rng) -> Dict[str, Any]:
+    """Random-init frozen ResNet101 variables (params + BN stats) for
+    TrackObjLoss (losses.py:362-414); pretrained torchvision weights port
+    via models/features.load_torch_resnet101_state when available."""
+    from deep_video_interpolation_extrapolation_tpu.models.features import (
+        ResNet101Features,
+    )
+    net = ResNet101Features(dtype=compute_dtype(cfg))
+    sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    return net.init(rng, sample, train=False)
+
+
 def vgg_loss_from_frozen(cfg: Config, frozen) -> Optional[Callable]:
     if not frozen or "vgg" not in frozen:
         return None

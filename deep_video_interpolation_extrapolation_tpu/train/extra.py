@@ -81,7 +81,10 @@ def make_train_step(cfg: Config, model) -> Callable:
 
                 out, bs_state = apply_model(
                     model, params, bs_state, x, seg, gt_rgb=gt_x, gt_seg=gt_seg,
-                    rngs={"noise": rng}, train=True)
+                    # fresh noise per rollout step: the reference runs a
+                    # separate forward per step, so a VAE coarse draws an
+                    # independent latent each time (ExtraTrainer.py:254-310)
+                    rngs={"noise": jax.random.fold_in(rng, ii)}, train=True)
                 if cfg.inpaint:
                     coarse_img, coarse_seg, inpaint_mask, inpaint_img = out
                 else:

@@ -127,6 +127,7 @@ def make_eval_step(cfg: Config, model) -> Callable:
         else:
             coarse_img, coarse_seg, refine_imgs, stage3_imgs, _ = out
             refine_img = refine_imgs[-1]
+            stage3_img = stage3_imgs[-1]
 
         coarse_img = jnp.clip(coarse_img, -1, 1)
         metrics = OrderedDict()
@@ -148,6 +149,17 @@ def make_eval_step(cfg: Config, model) -> Callable:
             metrics["refine_ssim"] = ssim(rp, g)
             if state.frozen and "vgg" in state.frozen:
                 metrics["refine_vgg"] = cos(rp, g)
+        if cfg.model == "InterStage3Net":
+            # EXTENSION over the reference: its validate() never measures
+            # the stage-3 output (InterTrainer.py:612-633 stops at
+            # refine_*), so epoch selection was blind to the stage being
+            # trained.  Same metric set, stage3_ prefix.
+            sp = normalize01(jnp.clip(stage3_img, -1, 1))
+            metrics["stage3_l1"] = l1_loss(sp, g)
+            metrics["stage3_psnr"] = psnr(sp, g)
+            metrics["stage3_ssim"] = ssim(sp, g)
+            if state.frozen and "vgg" in state.frozen:
+                metrics["stage3_vgg"] = cos(sp, g)
         return metrics
 
     return eval_step

@@ -128,15 +128,22 @@ def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
             discs[pkey] = (registry.build_disc(cfg, getattr(cfg, _attr)),
                            stem, is_video, getattr(cfg, dw), getattr(cfg, gw))
 
-    track_obj = None
-    if cfg.track_obj_loss and track_obj_frozen is not None:
-        track_obj = make_track_obj_loss(
-            ResNet101Features(dtype=registry.compute_dtype(cfg)), track_obj_frozen)
+    track_module = (ResNet101Features(dtype=registry.compute_dtype(cfg))
+                    if cfg.track_obj_loss else None)
 
     def train_step(state: state_lib.TrainState, batch, rng):
         x, seg, gt_x, gt_seg = get_inter_inputs(batch)
         bboxes = batch.get("bboxes")
         vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
+        # frozen ResNet101 for TrackObjLoss rides in state.frozen like the
+        # VGG params (the explicit argument wins for tests/tools); without
+        # it --track_obj_loss used to be a silent no-op
+        track_obj = None
+        rn_vars = (track_obj_frozen if track_obj_frozen is not None
+                   else (state.frozen or {}).get("resnet101"))
+        if track_module is not None and rn_vars is not None:
+            track_obj = make_track_obj_loss(track_module, rn_vars)
+        noise_key, sync_key = jax.random.split(rng)
 
         def loss_fn(params):
             ld = OrderedDict()
@@ -147,7 +154,7 @@ def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
 
             (coarse_rgb, coarse_seg_logits, mu, logvar), new_bs = _sub_apply(
                 coarse, params["coarse_model"], bs_of("coarse_model"),
-                x, seg, gt_x, gt_seg, rngs={"noise": rng}, train=True)
+                x, seg, gt_x, gt_seg, rngs={"noise": noise_key}, train=True)
             if new_bs:
                 bs_all["coarse_model"] = new_bs
             if cfg.track_gen:
@@ -196,9 +203,13 @@ def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
                 if d_bs:
                     bs_all[pkey] = d_bs
                 if stem == "video_det" and hasattr(disc, "supports_sync_neg"):
+                    # the 'sync_neg' rng randomizes the track-mismatch
+                    # offset (detdisc._sync_neg_boxes); without it the
+                    # negative was the same rotate-by-one every step
                     d_sync, _ = _sub_apply(
                         disc, d_params, d_bs, gt_x, gt_seg, *extra,
-                        bboxes=bboxes, sync_neg=True, train=True)
+                        bboxes=bboxes, sync_neg=True, train=True,
+                        rngs={"sync_neg": sync_key})
                     d_fake = (d_fake + d_sync) / 2
                 ld[f"coarse_{stem}_loss"] = gan_scalar_loss(g_fake, True, g_w)
                 ld[f"disc_{stem}_real_loss"] = gan_scalar_loss(d_real, True, d_w)

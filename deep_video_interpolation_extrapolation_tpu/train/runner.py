@@ -39,6 +39,7 @@ from deep_video_interpolation_extrapolation_tpu.train import (
 )
 from deep_video_interpolation_extrapolation_tpu.train.common import (
     get_inter_inputs,
+    init_resnet_frozen,
     init_vgg_frozen,
 )
 from deep_video_interpolation_extrapolation_tpu.train.metrics import MetricBank
@@ -83,6 +84,7 @@ class Runner:
         self._build_steps()
         self.writer = _writer(cfg, exp_dir) if jax.process_index() == 0 else None
         self._viz_fwd = None
+        self._minitest_fwd = None
         self._disc_fwd = None
 
     # ------------------------------------------------------------- build
@@ -98,10 +100,22 @@ class Runner:
     def _build_model_and_state(self) -> None:
         cfg = self.cfg
         batch = self._sample_batch()
-        self.rng, init_key, noise_key, vgg_key = jax.random.split(self.rng, 4)
+        self.rng, init_key, noise_key, vgg_key, rn_key = jax.random.split(
+            self.rng, 5)
         frozen: Dict[str, Any] = {}
-        if cfg.vgg_weight > 0 or cfg.split in ("val", "test"):
+        # the refine/stage3 bundles consume refine_vgg_weight, not
+        # vgg_weight — gate the frozen VGG on every weight that will be
+        # used, or those terms silently log constant zeros
+        uses_refine_vgg = (cfg.model in ("InterRefineNet", "InterStage3Net")
+                           and cfg.refine_vgg_weight > 0)
+        if (cfg.vgg_weight > 0 or uses_refine_vgg
+                or cfg.split in ("val", "test")):
             frozen["vgg"] = init_vgg_frozen(cfg, vgg_key)
+        if self.is_gan and cfg.track_obj_loss:
+            # frozen ResNet101 for TrackObjLoss (losses.py:362-414);
+            # random-init in this environment, torchvision weights port
+            # via models/features.load_torch_resnet101_state
+            frozen["resnet101"] = init_resnet_frozen(cfg, rn_key)
 
         if self.is_gan:
             self.model = None
@@ -114,8 +128,14 @@ class Runner:
                 if cfg.fix_init_frames:
                     x = jnp.concatenate([batch["frame2"], x], axis=-1)
                     seg = jnp.concatenate([batch["seg2"], seg], axis=-1)
-                gt_x = batch["frame3"]
-                gt_seg = batch["seg3"]
+                # the train step feeds num_pred_once frames of gt — a
+                # gt-consuming coarse (VAEHRNet) must be initialized at
+                # that width or the first step hits a kernel-shape error
+                np_ = cfg.num_pred_once
+                gt_x = jnp.concatenate(
+                    [batch[f"frame{i}"] for i in range(3, 3 + np_)], axis=-1)
+                gt_seg = jnp.concatenate(
+                    [batch[f"seg{i}"] for i in range(3, 3 + np_)], axis=-1)
             else:
                 x, seg, gt_x, gt_seg = get_inter_inputs(batch)
             variables = self.model.init(
@@ -520,10 +540,23 @@ class Runner:
                 for _ in range(cfg.num_pred_step):
                     x = jnp.concatenate(frames[-2:], axis=-1)
                     seg = jnp.concatenate(frame_segs[-2:], axis=-1)
+                    if cfg.fix_init_frames:
+                        # training prepends the second init frame at every
+                        # step (extra.py / ExtraTrainer.py:267-270); the
+                        # reference's own mini_test forgets this and would
+                        # crash on a fix_init_frames-trained model
+                        x = jnp.concatenate([frames[1], x], axis=-1)
+                        seg = jnp.concatenate([frame_segs[1], seg], axis=-1)
                     nxt_rgb, nxt_seg = fwd(x, seg)
-                    frames.append(jnp.clip(nxt_rgb[..., :3], -1, 1))
-                    frame_segs.append(
-                        jax.nn.one_hot(jnp.argmax(nxt_seg[..., :20], -1), 20))
+                    # append EVERY predicted frame; the window then takes
+                    # the two newest, reproducing the reference's
+                    # num_pred_once==1 slide and >1 jump alike
+                    # (ExtraTrainer.py:729-740)
+                    for j in range(cfg.num_pred_once):
+                        frames.append(
+                            jnp.clip(nxt_rgb[..., 3 * j:3 * j + 3], -1, 1))
+                        frame_segs.append(jax.nn.one_hot(jnp.argmax(
+                            nxt_seg[..., 20 * j:20 * j + 20], -1), 20))
 
             for b in range(frames[0].shape[0]):
                 clip_dir = os.path.join(out_root, f"clip_{n_clips:05d}")
@@ -659,6 +692,30 @@ class Runner:
         logger.info("cycgen: wrote %d clips under %s", n_done, out_root)
         return out_root
 
+    def _ensure_minitest_fwd(self):
+        """Jit the mini_test forward ONCE with params/batch_stats as
+        arguments: a per-call closure would retrace and recompile the full
+        model for each of the (up to 61) cycgen clips with the params
+        baked in as constants."""
+        if self._minitest_fwd is not None:
+            return
+        cfg = self.cfg
+        model = _GanEvalAdapter(cfg) if self.is_gan else self.model
+
+        def fwd(params, batch_stats, x, seg, key):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, x, seg, train=False,
+                              rngs={"noise": key})
+            # refine models: the reference uses the REFINED prediction
+            # (InterTrainer.py:825: ..., img = self.model(...))
+            if len(out) > 2 and isinstance(out[2], (list, tuple)):
+                return out[2][-1], out[1]
+            return out[0], out[1]
+
+        self._minitest_fwd = jax.jit(fwd)
+
     def _mini_test(self, img_list, seg_list):
         """Sliding-window rollout (InterTrainer.py:786-856).
 
@@ -670,21 +727,11 @@ class Runner:
         the two newest predictions (InterTrainer.py:835-844).
         """
         cfg = self.cfg
+        self._ensure_minitest_fwd()
 
         def _fwd(x, seg, key):
-            variables = {"params": self.state.params}
-            if self.state.batch_stats:
-                variables["batch_stats"] = self.state.batch_stats
-            model = _GanEvalAdapter(cfg) if self.is_gan else self.model
-            out = model.apply(variables, x, seg, train=False,
-                              rngs={"noise": key})
-            # refine models: the reference uses the REFINED prediction
-            # (InterTrainer.py:825: ..., img = self.model(...))
-            if len(out) > 2 and isinstance(out[2], (list, tuple)):
-                return out[2][-1], out[1]
-            return out[0], out[1]
-
-        _fwd = jax.jit(_fwd)
+            return self._minitest_fwd(
+                self.state.params, self.state.batch_stats or {}, x, seg, key)
 
         img1, img2 = [im * 2.0 - 1.0 for im in img_list]   # [-1,1] inputs
         seg1, seg2 = seg_list

@@ -27,7 +27,13 @@ from deep_video_interpolation_extrapolation_tpu.core.config import Config
 
 def make_tx(opt_name: str, lr: float) -> optax.GradientTransformation:
     """torch-default-matching optimizers (Adamax/Adam betas=(0.9,0.999),
-    eps=1e-8; SGD plain)."""
+    eps=1e-8; SGD plain).
+
+    Constant LR is reference-faithful: ``--lr_decay_step/--lr_decay_gamma``
+    are parsed but consumed NOWHERE in the reference either (grep: the
+    flags appear only in options/options.py:73-78 and base_options.py;
+    no runner builds a scheduler) — the flags stay accepted-and-inert
+    here for CLI parity."""
     if opt_name == "adamax":
         return optax.adamax(lr, b1=0.9, b2=0.999, eps=1e-8)
     if opt_name == "adam":
