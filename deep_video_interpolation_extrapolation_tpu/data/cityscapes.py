@@ -5,8 +5,12 @@ from __future__ import annotations
 
 import numpy as np
 
-# 34 raw Cityscapes label ids -> 20-class training index
-# (utils/cityscape_utils.py:83-117; includes the -1 -> 0 leading entry)
+# 34 raw Cityscapes label ids -> 29-class LEGACY index (exact copy of the
+# reference's seg_id2index_np, utils/cityscape_utils.py:82-117, which the
+# reference itself marks "not used now") — values exceed N_CLASSES, so do
+# NOT one-hot through this table.  The active pipeline loads pre-mapped
+# 20-class ``_gtFine_myseg_id.png`` ids directly (data/folder.py); kept
+# for metadata parity with the reference only.
 SEG_ID2INDEX = np.array(
     [0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,
      13, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28],

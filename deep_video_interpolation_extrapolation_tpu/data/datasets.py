@@ -122,7 +122,12 @@ def get_dataset(cfg: Config, vid_len: int = 3):
 def make_loader(cfg: Config, dataset, shuffle: Optional[bool] = None):
     if isinstance(dataset, SyntheticClipDataset):
         return dataset
+    is_train = shuffle if shuffle is not None else (cfg.split == "train")
+    # eval keeps the tail batch (torch DataLoader drop_last defaults False;
+    # dropping it silently truncated val metrics vs the reference's
+    # full-set numbers).  Train drops it — a fixed step shape avoids a
+    # tail-shape retrace of the jitted train step (documented deviation).
     return Loader(
         dataset, cfg.batch_size, seed=cfg.seed,
-        shuffle=shuffle if shuffle is not None else (cfg.split == "train"),
+        shuffle=is_train, drop_last=is_train,
         num_workers=cfg.num_workers)

@@ -47,6 +47,9 @@ def _load_seg(path: str) -> np.ndarray:
 def correlated_crop_params(rng: np.random.RandomState, src: int, crop: int):
     """Linear-drift crop offsets for a 3-frame clip (folder.py:125-149)."""
     margin = src - crop
+    assert margin >= 0, (src, crop)
+    if margin == 0:   # crop == source: no room to drift
+        return 0, 0, 0
     interval = rng.randint(margin)
     direction = rng.randint(2)
     mid = rng.randint(interval // 2, margin - interval // 2)
@@ -115,7 +118,8 @@ class ClipDataset:
             item = self._try_sample(index, rng)
             if item is not None:
                 return item
-            index = (index + rng.randint(1, len(self.clips))) % len(self.clips)
+            if len(self.clips) > 1:
+                index = (index + rng.randint(1, len(self.clips))) % len(self.clips)
         raise RuntimeError("no clip with usable tracks after 16 resamples")
 
     def _try_sample(self, index, rng):
@@ -168,7 +172,10 @@ class ClipDataset:
         # bbox adjust + validity filtering (folder.py:219-276)
         if clip_boxes is not None:
             kept = [[], [], []]
-            for j in range(n_track):
+            # the pkls keep clips with >= 1 passing track, capped at but
+            # never padded to num_box — iterate the tracks that exist;
+            # scarcity is handled by the duplication loop below
+            for j in range(min(n_track, len(clip_boxes[0]))):
                 track = []
                 ok = True
                 for i in range(3):

@@ -37,6 +37,16 @@ class InterNet(nn.Module):
             self.cfg, self.coarse_model, rgb, seg, gt_rgb, gt_seg, train)[:2]
 
 
+def _as_scale_list(refine_out):
+    """Normalize a refiner's output to the per-scale list contract:
+    SRNRefine returns a list, refineUnet a single array — iterating the
+    latter would walk the BATCH axis (the legacy runners normalize the
+    same way, train/legacy.py:226-227)."""
+    if isinstance(refine_out, (list, tuple)):
+        return list(refine_out)
+    return [refine_out]
+
+
 class InterRefineNet(nn.Module):
     """Coarse + SRN refine (nets/InterRefineNet.py:8-28)."""
     cfg: Config
@@ -60,6 +70,7 @@ class InterRefineNet(nn.Module):
         encoded_feat = jnp.concatenate([rgb] + enc, axis=-1)
         coarse_in = jnp.clip(jax.lax.stop_gradient(coarse_rgb), -1, 1)
         refine_rgbs = self.refine_model(coarse_in, soft, encoded_feat, train=train)
+        refine_rgbs = _as_scale_list(refine_rgbs)
         refine_rgbs = [jnp.clip(r, -10, 10) for r in refine_rgbs]
         return coarse_rgb, coarse_seg, refine_rgbs
 
@@ -86,6 +97,7 @@ class InterStage3Net(nn.Module):
         encoded_feat = jnp.concatenate([rgb] + enc, axis=-1)
         coarse_in = jnp.clip(jax.lax.stop_gradient(coarse_rgb), -1, 1)
         refine_rgbs = self.refine_model(coarse_in, soft, encoded_feat, train=train)
+        refine_rgbs = _as_scale_list(refine_rgbs)
         refine_rgbs = [jnp.clip(r, -1, 1) for r in refine_rgbs]
         stage3_in = jax.lax.stop_gradient(refine_rgbs[-1])
         stage3_rgbs, flow_maps = self.stage3_model(
@@ -115,8 +127,14 @@ class ExtraInpaintNet(nn.Module):
         self.inpaint_model = registry.build_inpaint(self.cfg)
 
     def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True):
-        coarse_rgb, out_seg, mask = registry.apply_coarse(
+        out = registry.apply_coarse(
             self.cfg, self.coarse_model, rgb, seg, gt_rgb, gt_seg, train)
+        if len(out) != 3:
+            raise ValueError(
+                f"ExtraInpaintNet needs a mask-producing coarse model "
+                f"(HRNet with inpaint, nets/HRNet.py:585-601); "
+                f"{self.cfg.coarse_model!r} returned {len(out)} outputs")
+        coarse_rgb, out_seg, mask = out
         inpainted = self.inpaint_model(coarse_rgb, mask, out_seg, train=train)
         return coarse_rgb, out_seg, mask, inpainted
 
@@ -147,7 +165,10 @@ class InterGANNet(nn.Module):
         cfg = self.cfg
         coarse_rgb, coarse_seg, mu, logvar = registry.apply_coarse(
             cfg, self.coarse_model, rgb, seg, gt_rgb, gt_seg, train)
-        if cfg.track_gen:
+        # eval without boxes (serving export, generator-only inference)
+        # skips the track branch — the reference's cycgen likewise runs the
+        # coarse generator only; training without boxes still fails loudly
+        if cfg.track_gen and (train or bboxes is not None):
             coarse_rgb, coarse_seg, gen_bbox, loc_diff_loss = self.track_gen_model(
                 rgb, seg, coarse_rgb, coarse_seg, bboxes,
                 **({"gt_bbox_for_loss": True} if "V2" in cfg.track_gen_model else {}),

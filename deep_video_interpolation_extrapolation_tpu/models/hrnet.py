@@ -552,11 +552,7 @@ class _HRBackbone(nn.Module):
         # input) avoids materializing this concat but is ~33 ms/step SLOWER
         # in-loop at 1024x512 bs8 — XLA materializes each partial-sum tensor
         # at full 448 channels, tripling the traffic the concat costs once.
-        size = xs[0].shape[1:3]
-        ups = [xs[0]] + [
-            interpolate_bilinear(t, size=size, align_corners=False) for t in xs[1:]
-        ]
-        return jnp.concatenate(ups, axis=-1)
+        return _concat_pyramid(xs)
 
 
 class _Head(nn.Module):

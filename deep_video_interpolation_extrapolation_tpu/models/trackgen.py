@@ -142,8 +142,6 @@ class TrackGen(nn.Module):
         feats = feats.reshape(b, n, PATCH, PATCH, -1)
 
         mid = boxes[:, 1]                                       # (B,N,4)
-        canvas = jnp.zeros((b, h, w, feats.shape[-1]), feats.dtype)
-        pasted = paste_patches(canvas, feats, mid)
         mask = _box_mask(h, w, mid)
         # per-track channels concatenated (reference keeps N*32 channels,
         # nets/TrackGen.py:178); here the paste overwrites into one 32-ch

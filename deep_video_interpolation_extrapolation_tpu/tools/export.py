@@ -29,10 +29,9 @@ import jax.numpy as jnp
 
 def _needs_noise_rng(cfg) -> bool:
     """VAE generators sample prior z at eval via the 'noise' rng
-    (models/hrnet.py VAEHRNet, models/vae_video.py)."""
+    (models/hrnet.py VAEHRNet)."""
     return bool(getattr(cfg, "vae", False)
-                or cfg.coarse_model == "VAEHRNet"
-                or cfg.model in ("VAE", "VAE_S", "VAE_SD"))
+                or cfg.coarse_model == "VAEHRNet")
 
 
 def forward_fn(cfg, model, variables) -> Callable:
@@ -81,6 +80,11 @@ def export_forward(
 
     from deep_video_interpolation_extrapolation_tpu.models import registry
 
+    if cfg.model in ("VAE", "VAE_S", "VAE_SD"):
+        raise ValueError(
+            "legacy flow-VAE heads take 5-D video (+ fg/bg mask) inputs "
+            "(models/vae_video.py) and do not fit the (rgb, seg) serving "
+            "signature; export a composite head instead")
     if model is None:
         model = registry.build_model(cfg)
     b = batch_size or cfg.batch_size

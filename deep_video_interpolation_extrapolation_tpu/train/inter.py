@@ -49,8 +49,8 @@ from deep_video_interpolation_extrapolation_tpu.train.common import (
 )
 
 
-def _scale_str(cfg: Config, i: int) -> str:
-    return str(1 / (2 ** (cfg.n_scales - i - 1)))
+def _scale_str(n_scales: int, i: int) -> str:
+    return str(1 / (2 ** (n_scales - i - 1)))
 
 
 def make_train_step(cfg: Config, model, with_grads: bool = False) -> Callable:
@@ -85,18 +85,23 @@ def make_train_step(cfg: Config, model, with_grads: bool = False) -> Callable:
                 loss_dict["coarse_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
                     coarse_seg, jnp.argmax(gt_seg, axis=-1))
             if cfg.model in ("InterRefineNet", "InterStage3Net"):
-                for i in range(cfg.n_scales):
-                    scale = 1 / (2 ** (cfg.n_scales - i - 1))
-                    gt_s = interpolate_bilinear(
-                        gt_x, scale_factor=scale, align_corners=True
-                    ) if i != cfg.n_scales - 1 else gt_x
-                    loss_dict.update(rgb_bundle(
-                        cfg, refine_imgs[i], gt_s, vgg_fn,
-                        "refine_" + _scale_str(cfg, i), refine=True))
-                    if cfg.model == "InterStage3Net":
+                # per-scale losses keyed by each stage's ACTUAL output
+                # count: SRNRefine emits n_scales scales, refineUnet one
+                # full-res image (the composite normalizes it to a list)
+                def per_scale(imgs, stem):
+                    n_sc = len(imgs)
+                    for i in range(n_sc):
+                        scale = 1 / (2 ** (n_sc - i - 1))
+                        gt_s = interpolate_bilinear(
+                            gt_x, scale_factor=scale, align_corners=True
+                        ) if i != n_sc - 1 else gt_x
                         loss_dict.update(rgb_bundle(
-                            cfg, stage3_imgs[i], gt_s, vgg_fn,
-                            "stage3_" + _scale_str(cfg, i), refine=True))
+                            cfg, imgs[i], gt_s, vgg_fn,
+                            stem + _scale_str(n_sc, i), refine=True))
+
+                per_scale(refine_imgs, "refine_")
+                if cfg.model == "InterStage3Net":
+                    per_scale(stage3_imgs, "stage3_")
             total = sum_losses(loss_dict)
             loss_dict["loss_all"] = total
             return total, (loss_dict, new_bs)

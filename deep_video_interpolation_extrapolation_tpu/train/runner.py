@@ -440,11 +440,19 @@ class Runner:
             self.state, mesh_lib.replicated_sharding(self.mesh))
         bank = MetricBank([])
         for batch in loader:
-            batch = self._shard(batch)
+            n = int(next(iter(batch.values())).shape[0])
+            if n % self.mesh.shape[mesh_lib.DATA_AXIS]:
+                # tail batch not divisible over the data axis: run it
+                # replicated (correct, once per epoch) instead of dropping
+                repl = mesh_lib.replicated_sharding(self.mesh)
+                batch = {k: jax.device_put(jnp.asarray(v), repl)
+                         for k, v in batch.items()}
+            else:
+                batch = self._shard(batch)
             self.rng, step_key = jax.random.split(self.rng)
             metrics = self.eval_step(self.state, batch, step_key)
-            bank.update({k: float(v) for k, v in metrics.items()},
-                        n=cfg.batch_size)
+            # weight by the TRUE batch size so the tail doesn't skew means
+            bank.update({k: float(v) for k, v in metrics.items()}, n=n)
         avg = bank.averages()
         logger.info("[val epoch %d] %s", self.epoch,
                     " ".join(f"{k}: {v:.4f}" for k, v in avg.items()))

@@ -188,6 +188,49 @@ class TestWorkerLoader:
         assert not leaked, f"loader threads still alive: {leaked}"
 
 
+class TestLoaderTail:
+    def test_val_loader_keeps_tail_batch(self):
+        """Eval loaders must not drop the last partial batch (torch
+        DataLoader drop_last defaults False); dropping it silently
+        truncated val metrics.  Train keeps drop_last=True (fixed step
+        shape; documented deviation)."""
+        class DS:
+            def __len__(self):
+                return 5
+
+            def sample(self, i, rng):
+                return {"x": np.full((2,), i, np.float32)}
+
+        val_cfg = _cfg(split="val")
+        val_cfg = val_cfg.replace(batch_size=2)
+        loader = data_lib.make_loader(val_cfg, DS())
+        batches = list(loader)
+        assert [b["x"].shape[0] for b in batches] == [2, 2, 1]
+        assert len(loader) == 3
+
+        train_cfg = _cfg(split="train").replace(batch_size=2)
+        loader_t = data_lib.make_loader(train_cfg, DS())
+        assert len(loader_t) == 2
+        assert all(b["x"].shape[0] == 2 for b in loader_t)
+
+
+class TestTrackScarcity:
+    def test_fewer_tracks_than_requested_duplicates(self, tmp_path):
+        """bbox pkls keep clips with >= 1 passing track, never padded to
+        num_track_per_img; the sampler must duplicate, not IndexError."""
+        img_dir, seg_dir, clips = _make_cityscape_tree(tmp_path, n_clips=1)
+        cfg = _cfg(split="train")
+        cfg = cfg.replace(num_track_per_img=4)
+        # one track only, full-frame box at the pkl's 1024x512 scale
+        boxes = [[[[0.9, 8.0, 8.0, 1000.0, 500.0]]] * 3]
+        ds = ClipDataset(cfg, clips[:1], split="train", img_dir=img_dir,
+                         seg_dir=seg_dir, bboxes=boxes)
+        s = ds.sample(0, np.random.RandomState(0))
+        assert s["bboxes"].shape == (3, 4, 4)
+        # the single valid track was duplicated into all 4 slots
+        assert np.allclose(s["bboxes"][1][0], s["bboxes"][1][1])
+
+
 class TestTripletDatasets:
     def test_vimeo_layout(self, tmp_path):
         seq = tmp_path / "sequences" / "00001" / "0266"

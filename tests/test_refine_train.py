@@ -57,6 +57,25 @@ def test_refine_net_train_step():
                    for x_, y_ in zip(a, b)), name
 
 
+def test_refine_unet_single_output_normalized():
+    """refine_model='refineUnet' returns ONE array, not a per-scale list;
+    the composite must wrap it — iterating the array would walk the BATCH
+    axis and hand downstream code a (H,W,3) last-sample tensor."""
+    cfg = _cfg(model="InterRefineNet", refine_model="refineUnet")
+    model, state, batch = _setup(cfg)
+    x = jnp.concatenate([batch["frame1"], batch["frame3"]], -1)
+    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], -1)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    _, _, refine_rgbs = model.apply(variables, x, seg, train=False)
+    assert isinstance(refine_rgbs, (list, tuple)) and len(refine_rgbs) == 1
+    assert refine_rgbs[0].shape == (B, H, W, 3)
+    step = jax.jit(inter_lib.make_train_step(cfg, model))
+    _, losses = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses["loss_all"]))
+
+
 def test_stage3_train_step_frozen_coarse():
     cfg = _cfg(model="InterStage3Net", stage3=True, train_stage3=True,
                stage3_model="MSResAttnRefine", train_coarse=False,
