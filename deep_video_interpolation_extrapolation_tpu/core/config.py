@@ -186,11 +186,7 @@ class Config:
         Unknown attributes are ignored; missing ones keep their defaults.
         """
         fields = {f.name for f in dataclasses.fields(cls)}
-        kw = {}
-        for key, val in vars(ns).items():
-            if key in fields and val is not None or (key in fields and val is None):
-                kw[key] = val
-        kw = {k: v for k, v in kw.items() if k in fields}
+        kw = {k: v for k, v in vars(ns).items() if k in fields}
         return cls(**kw)
 
     def validate(self) -> "Config":

@@ -208,9 +208,9 @@ class Conv(nn.Module):
                     # Kept opt-in for kernel-internal reuse
                     # (ops/packed_conv.py ae_kernels_3x3).
                     from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
-                        conv3x3_packed_ae,
+                        conv3x3_packed_ae_xla,
                     )
-                    out = conv3x3_packed_ae(xd, kd, f, preferred_dtype=dt)
+                    out = conv3x3_packed_ae_xla(xd, kd, f, preferred_dtype=dt)
                     if bd is not None:
                         out = out + jnp.tile(bd, f)
                     return out

@@ -136,7 +136,7 @@ def ae_kernels_3x3(k: jnp.ndarray, factor: int = 2):
     return ka, ke[:, None]
 
 
-def conv3x3_packed_ae(
+def conv3x3_packed_ae_xla(
     xp: jnp.ndarray, k: jnp.ndarray, factor: int = 2, preferred_dtype=None
 ) -> jnp.ndarray:
     """Exact stride-1 SAME 3x3 conv on width-packed input via A+E.

@@ -203,8 +203,11 @@ def fused_window_attention(
             jax.ShapeDtypeStruct((b, h, w, 4), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2 * ph, w + 2 * pw, c), jnp.float32),
-            pltpu.VMEM((2, th + 2 * ph, w + 2 * pw, cv), jnp.float32),
+            # input-dtype slabs: the halo DMAs require matching element
+            # types (bf16 inputs into f32 slabs fail at lowering); the
+            # kernel normalizes/casts to f32 at use (lines 85, 104-105)
+            pltpu.VMEM((2, th + 2 * ph, w + 2 * pw, c), k1p.dtype),
+            pltpu.VMEM((2, th + 2 * ph, w + 2 * pw, cv), v1p.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

@@ -56,9 +56,16 @@ def _kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem,
     c = channels
     w = fx_ref.shape[2]
     k = 2 * r + 2
+    # slab rows: the dy = r+1 tap reads slab row i + 2r + 1, so the halo
+    # needs th + 2r + 1 rows — rounded up to th + 2r + 8 because DMA
+    # sublane sizes must be 8-aligned.  A th + 2r slab made the LAST row
+    # of every tile wrap (mod n_rows) to slab row 0 for that tap,
+    # leaking image row ti*th - r into outputs with displacement
+    # in (r, r+1).
+    n_rows = th + 2 * r + 8
 
     cp = pltpu.make_async_copy(
-        xp_ref.at[bi, :, pl.ds(ti * th, th + 2 * r), :], slab, sem)
+        xp_ref.at[bi, :, pl.ds(ti * th, n_rows), :], slab, sem)
     cp.start()
 
     fx = fx_ref[0].astype(jnp.float32)   # (Th, W) absolute pixel x coords
@@ -80,7 +87,6 @@ def _kernel(fx_ref, fy_ref, xp_ref, out_ref, slab, sem,
         wgt = jnp.where(valid, wy * wx, 0.0)
         # pltpu.roll mis-handles NEGATIVE sublane shifts when the row count
         # isn't a power of two (observed on v5e) — normalize to positive.
-        n_rows = th + 2 * r
         sy = jnp.mod(-dy, n_rows)
         sx = jnp.mod(-dx, w)
         out = []
@@ -118,7 +124,8 @@ def grid_sample_pallas(
 
     fx = (grid[..., 0].astype(jnp.float32) + 1.0) * 0.5 * (w - 1)
     fy = (grid[..., 1].astype(jnp.float32) + 1.0) * 0.5 * (h - 1)
-    xp = jnp.pad(jnp.moveaxis(x, -1, 1), ((0, 0), (0, 0), (r, r), (0, 0)))
+    # bottom pad r+8: the slab carries a th+2r+8-row halo (see _kernel)
+    xp = jnp.pad(jnp.moveaxis(x, -1, 1), ((0, 0), (0, 0), (r, r + 8), (0, 0)))
 
     kern = functools.partial(
         _kernel, max_disp=r, tile_h=th, channels=c, height=h)
@@ -132,7 +139,10 @@ def grid_sample_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, th + 2 * r, w), jnp.float32),
+            # input-dtype slab: the async copy requires matching element
+            # types (a bf16 input into an f32 slab fails at lowering);
+            # taps are promoted to f32 by the accumulate arithmetic
+            pltpu.VMEM((c, th + 2 * r + 8, w), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -236,8 +236,10 @@ def avg_pool(
     else:
         pads = ((0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0))
     summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, pads)
-    if count_include_pad or isinstance(padding, str):
+    if count_include_pad:
         return summed / (window[0] * window[1])
+    # the ones-pool divisor handles string paddings ('SAME') too — the old
+    # isinstance short-circuit silently include-pad'ed them
     ones = jnp.ones(x.shape[:3] + (1,), dtype=x.dtype)
     counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, pads)
     return summed / counts

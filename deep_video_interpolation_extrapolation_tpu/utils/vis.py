@@ -36,11 +36,20 @@ def make_grid(images: Sequence[np.ndarray], pad: int = 2,
         if im.ndim == 2:
             im = np.stack([im] * 3, -1)
         if im.shape[0] != h:
-            reps = h // im.shape[0]
+            reps = max(1, h // im.shape[0])
             im = np.repeat(np.repeat(im, reps, 0), reps, 1)
         return im
 
     imgs = [prep(im) for im in images]
+    # integer-rep upscaling can leave ragged cells (h % im_h != 0, or
+    # mixed widths); zero-pad every cell to a uniform (h, wmax) so the
+    # row/column concatenations never mismatch
+    wmax = max(im.shape[1] for im in imgs)
+    imgs = [
+        im if im.shape[:2] == (h, wmax) else np.pad(
+            im, ((0, h - im.shape[0]), (0, wmax - im.shape[1]), (0, 0)))
+        for im in imgs
+    ]
     if nrow <= 0:
         nrow = len(imgs)
     rows = []

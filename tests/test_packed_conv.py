@@ -158,28 +158,28 @@ def test_packed_conv_gradients_match():
 def test_ae_conv_exact(shape, factor):
     """A+E decomposition == plain 3x3 SAME conv (and == single packed kernel)."""
     from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
-        conv3x3_packed_ae,
+        conv3x3_packed_ae_xla,
     )
     b, h, w, c, o = shape
     rng = np.random.RandomState(8)
     x = jnp.asarray(rng.uniform(-1, 1, (b, h, w, c)), jnp.float32)
     k = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 3, c, o)), jnp.float32)
     ref = _conv_ref(x, k)
-    out = unpack_w(conv3x3_packed_ae(pack_w(x, factor), k, factor), factor)
+    out = unpack_w(conv3x3_packed_ae_xla(pack_w(x, factor), k, factor), factor)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
 
 def test_ae_conv_gradients_match():
     from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
-        conv3x3_packed_ae,
+        conv3x3_packed_ae_xla,
     )
     rng = np.random.RandomState(9)
     x = jnp.asarray(rng.uniform(-1, 1, (1, 4, 8, 4)), jnp.float32)
     k = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 3, 4, 4)), jnp.float32)
     g_ref = jax.grad(lambda kk: jnp.sum(_conv_ref(x, kk) ** 2))(k)
     g_ae = jax.grad(lambda kk: jnp.sum(
-        unpack_w(conv3x3_packed_ae(pack_w(x, 2), kk, 2), 2) ** 2))(k)
+        unpack_w(conv3x3_packed_ae_xla(pack_w(x, 2), kk, 2), 2) ** 2))(k)
     np.testing.assert_allclose(np.asarray(g_ae), np.asarray(g_ref),
                                atol=1e-4, rtol=1e-4)
 

@@ -53,3 +53,25 @@ def test_fits_vmem_guard():
     assert fits_vmem(64, 128, 128, 128)   # the V1 attention shape
     assert not fits_vmem(64, 128, 64, 64)  # lane-unaligned channels
     assert not fits_vmem(512, 4096, 256, 256)  # too wide per tile
+
+
+def test_bfloat16_inputs():
+    """The default compute dtype is bfloat16: the k/v slabs must carry the
+    input dtype (a bf16 -> f32 halo DMA fails at lowering); math still
+    accumulates in f32 in-kernel."""
+    b, h, w, c, cv = 1, 8, 16, 8, 4
+    mk = lambda s, shape: jnp.asarray(
+        np.random.RandomState(s).uniform(-1, 1, shape), jnp.bfloat16)
+    q, k1, k2 = mk(0, (b, h, w, c)), mk(1, (b, h, w, c)), mk(2, (b, h, w, c))
+    v1, v2 = mk(3, (b, h, w, cv)), mk(4, (b, h, w, cv))
+    out, flow = fused_window_attention(q, k1, k2, v1, v2, interpret=True)
+    assert out.dtype == jnp.bfloat16 and flow.dtype == jnp.float32
+    ref_out, ref_flow = fused_window_attention_reference(q, k1, k2, v1, v2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref_out, np.float32),
+        atol=5e-2, rtol=5e-2)
+    # argmax flow can legitimately flip on near-tied similarities under
+    # bf16 rounding (the kernel normalizes k in the slab dtype); require
+    # agreement on the vast majority of pixels
+    flip = np.mean(np.any(np.asarray(flow) != np.asarray(ref_flow), -1))
+    assert flip < 0.1, flip

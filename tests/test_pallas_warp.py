@@ -54,3 +54,42 @@ def test_out_of_window_is_zero():
                              interpret=True)
     # interior: true sample exists but is beyond the window -> 0
     assert np.allclose(np.asarray(out)[0, :, :4], 0.0)
+
+
+def test_tile_boundary_fractional_max_disp():
+    """Regression: displacement in (r, r+1) at the LAST row of an interior
+    row tile.  The dy = r+1 tap used to wrap (mod slab rows) to slab row 0
+    — image row ti*th - r — leaking data from 2r rows away instead of the
+    correct bilinear pair.  Needs h > tile (64) so interior tiles exist."""
+    rng = np.random.RandomState(2)
+    b, h, w, c = 1, 192, 128, 1
+    r = 8
+    x = rng.uniform(-1, 1, (b, h, w, c)).astype(np.float32)
+    base = np.asarray(make_base_grid(h, w))[None]
+    # uniform +8.5 px displacement in y: every pixel samples between its
+    # dy=r and dy=r+1 taps
+    grid = (base + np.array([0.0, 8.5 * 2.0 / (h - 1)], np.float32)
+            ).astype(np.float32)
+    out = grid_sample_pallas(jnp.asarray(x), jnp.asarray(grid), max_disp=r,
+                             interpret=True)
+    ref = _torch_ref(x, grid)
+    # torch samples beyond the window bound are exact here because 8.5 < r+1
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_bfloat16_inputs():
+    """The default compute dtype is bfloat16: the slab must carry the
+    input dtype (a bf16 -> f32 async copy fails at lowering)."""
+    rng = np.random.RandomState(3)
+    b, h, w, c = 1, 16, 32, 3
+    x = rng.uniform(-1, 1, (b, h, w, c)).astype(np.float32)
+    base = np.asarray(make_base_grid(h, w))[None]
+    flow = rng.uniform(-3, 3, (b, h, w, 2)).astype(np.float32)
+    grid = (base + flow * np.array([2.0 / (w - 1), 2.0 / (h - 1)])
+            ).astype(np.float32)
+    out = grid_sample_pallas(jnp.asarray(x, jnp.bfloat16), jnp.asarray(grid),
+                             max_disp=4, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _torch_ref(x, grid)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=3e-2, rtol=3e-2)
