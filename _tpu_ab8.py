@@ -154,6 +154,11 @@ def main() -> None:
          {"DVIE_HL4_PACK": "1"}),
         ("DVIE_HL4_PACK=1 DVIE_FUSED_HEAD4=1", "fps", fwd,
          {"DVIE_HL4_PACK": "1", "DVIE_FUSED_HEAD4": "1"}),
+        # tile sweep for the biggest kernel (upshead: 31.9 ms vs ~17 ms
+        # FLOP floor at 4096 programs; larger tiles cut per-program cost).
+        # Never ran in round 1 — the round ended first.
+        ("AB8 upshead tile sweep", "8,128,2 ->",
+         [PY, "_ups_sweep_tmp.py"], {}),
     ]
     # the original AB5 header covers both trainbench runs; distinguish by
     # the config string instead when the original chain succeeded
@@ -175,7 +180,8 @@ def main() -> None:
         if not wait_relay(deadline):
             log_append("AB8: gave up waiting for the relay")
             break
-        run_logged(key, argv, env)
+        run_logged(key, argv, env,
+                   timeout=14400 if "sweep" in key else 2400)
 
     # UPSHEAD_FOLD bench only if the lane-roll probe passed on hardware
     if ("ROLL3D+SLICE: compiled, correct= True" in read_log()
