@@ -121,6 +121,49 @@ def test_dryrun_pins_platform_before_discovery():
     assert "PIN_OK" in res.stdout
 
 
+def test_dryrun_resolution_overrides_broken_platform_pin():
+    """The ambient env can pin JAX_PLATFORMS to a platform that is broken
+    or absent (observed live: JAX_PLATFORMS=axon with the relay down wedges
+    backend init inside jax's process-wide lock, deadlocking even the CPU
+    fallback).  In a fresh process the dryrun must detect this WITHOUT
+    initializing the broken platform in-process (bounded subprocess probe),
+    then force CPU discovery with a self-provided virtual device count —
+    and restore the env afterwards."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import os, sys\n"
+        "sys.path.insert(0, '.')\n"
+        "import __graft_entry__ as graft\n"
+        "devs = graft._resolve_dryrun_devices(8)\n"
+        "import jax\n"
+        "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
+        "assert len(devs) == 8 and all(d.platform == 'cpu' for d in devs)\n"
+        "# env untouched: the broken pin stays the caller's to pass on\n"
+        "assert os.environ.get('JAX_PLATFORMS') == 'axon'\n"
+        "assert 'XLA_FLAGS' not in os.environ\n"
+        "# ...but in-process jax must stay usable (config kept at cpu —\n"
+        "# restoring the broken pin would poison every later\n"
+        "# get_backend(None) lookup)\n"
+        "import jax.numpy as jnp\n"
+        "assert float(jnp.zeros(()) + 1) == 1.0\n"
+        "print('OVERRIDE_OK')\n"
+    )
+    # axon is pinned but its plugin is NOT registered (no
+    # PALLAS_AXON_POOL_IPS): discovery of it raises -> the subprocess
+    # probe fails fast -> CPU override must engage
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORM_NAME", "PALLAS_AXON_POOL_IPS",
+                        "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "axon"
+    res = subprocess.run([_sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "OVERRIDE_OK" in res.stdout
+
+
 def test_dryrun_with_tpu_default_backend_simulated(monkeypatch):
     """The driver's real multichip environment keeps a TPU plugin as the
     DEFAULT backend while the dryrun places everything on the CPU client.
