@@ -30,6 +30,7 @@ from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
     SEG_EXT,
     N_CLASSES,
 )
+from deep_video_interpolation_extrapolation_tpu.native import host as _native
 
 
 def _load_rgb(path: str) -> np.ndarray:
@@ -42,6 +43,29 @@ def _load_seg(path: str) -> np.ndarray:
     from PIL import Image
     with open(path, "rb") as f:
         return np.asarray(Image.open(f).convert("L"), np.uint8)
+
+
+def _pil_frame_rgb(data: bytes, flip: bool, y0: int, x0: int,
+                   ch: int, cw: int) -> np.ndarray:
+    """PIL-semantics fallback for one frame the native decoder declined."""
+    import io
+    from PIL import Image
+    arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    if flip:
+        arr = arr[:, ::-1]
+    arr = arr[y0:y0 + ch, x0:x0 + cw]
+    return arr.astype(np.float32) / 255.0 * 2.0 - 1.0
+
+
+def _pil_frame_seg(data: bytes, flip: bool, y0: int, x0: int,
+                   ch: int, cw: int) -> np.ndarray:
+    import io
+    from PIL import Image
+    arr = np.asarray(Image.open(io.BytesIO(data)).convert("L"), np.uint8)
+    if flip:
+        arr = arr[:, ::-1]
+    arr = arr[y0:y0 + ch, x0:x0 + cw]
+    return np.eye(N_CLASSES, dtype=np.float32)[arr]
 
 
 def correlated_crop_params(rng: np.random.RandomState, src: int, crop: int):
@@ -122,15 +146,42 @@ class ClipDataset:
                 index = (index + rng.randint(1, len(self.clips))) % len(self.clips)
         raise RuntimeError("no clip with usable tracks after 16 resamples")
 
+    def _native_clip(self, img_paths, seg_paths):
+        """Read raw bytes and dims when EVERY frame is natively decodable
+        (8-bit RGB/gray, non-interlaced); None -> PIL pipeline."""
+        if not _native.available():
+            return None
+        try:
+            img_bytes = [open(p, "rb").read() for p in img_paths]
+            seg_bytes = [open(p, "rb").read() for p in seg_paths]
+        except OSError:
+            return None
+        dims = _native.native_decodable(img_bytes[0], 3)
+        if dims is None:
+            return None
+        for b in img_bytes[1:]:
+            if _native.native_decodable(b, 3) != dims:
+                return None
+        for b in seg_bytes:
+            if _native.native_decodable(b, 1) != dims:
+                return None
+        return img_bytes, seg_bytes, dims
+
     def _try_sample(self, index, rng):
         cfg = self.cfg
         clip = self.clips[index]
-        imgs = [
-            _load_rgb(os.path.join(self.img_dir, p + IMG_EXT)) for p in clip
-        ]
-        segs = [
-            _load_seg(os.path.join(self.seg_dir, p + SEG_EXT)) for p in clip
-        ]
+        img_paths = [os.path.join(self.img_dir, p + IMG_EXT) for p in clip]
+        seg_paths = [os.path.join(self.seg_dir, p + SEG_EXT) for p in clip]
+        # native fast path: fused decode+flip+crop+normalize/one-hot in C
+        # (single pass over the bytes, GIL-free under the worker pool);
+        # bit-identical to the PIL/numpy branch below
+        nat = self._native_clip(img_paths, seg_paths)
+        if nat is None:
+            imgs = [_load_rgb(p) for p in img_paths]
+            segs = [_load_seg(p) for p in seg_paths]
+            src_h, src_w = imgs[0].shape[:2]
+        else:
+            img_bytes, seg_bytes, (src_h, src_w) = nat
         n_track = cfg.num_track_per_img
         if self.bboxes is not None:
             clip_boxes = [
@@ -142,8 +193,9 @@ class ClipDataset:
 
         flip = rng.randint(0, 3) and self.split == "train"
         if flip:
-            imgs = [img[:, ::-1] for img in imgs]
-            segs = [s[:, ::-1] for s in segs]
+            if nat is None:
+                imgs = [img[:, ::-1] for img in imgs]
+                segs = [s[:, ::-1] for s in segs]
             if clip_boxes is not None:
                 w_last = self.src_size - 1
                 for frame in clip_boxes:
@@ -153,8 +205,8 @@ class ClipDataset:
 
         ch, cw = cfg.input_h, cfg.input_w
         if self.split == "train":
-            hs = correlated_crop_params(rng, imgs[0].shape[0], ch)
-            ws = correlated_crop_params(rng, imgs[0].shape[1], cw)
+            hs = correlated_crop_params(rng, src_h, ch)
+            ws = correlated_crop_params(rng, src_w, cw)
             crops = [(hs[i], ws[i]) for i in range(min(3, self.vid_len))]
             while len(crops) < self.vid_len:
                 crops.append(crops[-1])
@@ -164,6 +216,22 @@ class ClipDataset:
         out: Dict[str, np.ndarray] = {}
         for i in range(self.vid_len):
             y0, x0 = crops[i]
+            if nat is not None:
+                frame = _native.decode_rgb_norm(
+                    img_bytes[i], y0, x0, ch, cw, bool(flip), mode=0)
+                onehot = _native.decode_seg_onehot(
+                    seg_bytes[i], y0, x0, ch, cw, bool(flip), N_CLASSES)
+                # declined frames (e.g. a seg id >= N_CLASSES) re-run
+                # under PIL semantics so errors surface identically
+                if frame is None:
+                    frame = _pil_frame_rgb(
+                        img_bytes[i], bool(flip), y0, x0, ch, cw)
+                if onehot is None:
+                    onehot = _pil_frame_seg(
+                        seg_bytes[i], bool(flip), y0, x0, ch, cw)
+                out[f"frame{i + 1}"] = frame
+                out[f"seg{i + 1}"] = onehot
+                continue
             img = imgs[i][y0:y0 + ch, x0:x0 + cw]
             seg = segs[i][y0:y0 + ch, x0:x0 + cw]
             out[f"frame{i + 1}"] = img.astype(np.float32) / 255.0 * 2.0 - 1.0
@@ -241,6 +309,17 @@ class TripletDataset:
             paths = [os.path.join(self.img_dir, p) for p in entry]
         out: Dict[str, np.ndarray] = {}
         for i, p in enumerate(paths):
+            if self.resize is None and _native.available():
+                data = open(p, "rb").read()
+                dims = _native.native_decodable(data, 3)
+                frame = (None if dims is None else _native.decode_rgb_norm(
+                    data, 0, 0, dims[0], dims[1], False, mode=1))
+                if frame is not None:
+                    out[f"frame{i + 1}"] = frame
+                    h, w = frame.shape[:2]
+                    out[f"seg{i + 1}"] = np.zeros((h, w, N_CLASSES),
+                                                  np.float32)
+                    continue
             with open(p, "rb") as f:
                 img = Image.open(f).convert("RGB")
             if self.resize is not None:
