@@ -33,24 +33,22 @@ from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
 from deep_video_interpolation_extrapolation_tpu.native import host as _native
 
 
-def _load_rgb(path: str) -> np.ndarray:
+def _decode_rgb(data: bytes) -> np.ndarray:
+    import io
     from PIL import Image
-    with open(path, "rb") as f:
-        return np.asarray(Image.open(f).convert("RGB"), np.uint8)
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
 
 
-def _load_seg(path: str) -> np.ndarray:
+def _decode_seg(data: bytes) -> np.ndarray:
+    import io
     from PIL import Image
-    with open(path, "rb") as f:
-        return np.asarray(Image.open(f).convert("L"), np.uint8)
+    return np.asarray(Image.open(io.BytesIO(data)).convert("L"), np.uint8)
 
 
 def _pil_frame_rgb(data: bytes, flip: bool, y0: int, x0: int,
                    ch: int, cw: int) -> np.ndarray:
     """PIL-semantics fallback for one frame the native decoder declined."""
-    import io
-    from PIL import Image
-    arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+    arr = _decode_rgb(data)
     if flip:
         arr = arr[:, ::-1]
     arr = arr[y0:y0 + ch, x0:x0 + cw]
@@ -59,9 +57,7 @@ def _pil_frame_rgb(data: bytes, flip: bool, y0: int, x0: int,
 
 def _pil_frame_seg(data: bytes, flip: bool, y0: int, x0: int,
                    ch: int, cw: int) -> np.ndarray:
-    import io
-    from PIL import Image
-    arr = np.asarray(Image.open(io.BytesIO(data)).convert("L"), np.uint8)
+    arr = _decode_seg(data)
     if flip:
         arr = arr[:, ::-1]
     arr = arr[y0:y0 + ch, x0:x0 + cw]
@@ -106,6 +102,9 @@ class ClipDataset:
         self.src_size = src_size or (150 if split == "train" else 128)
         self.vid_len = len(self.clips[0]) if self.clips else 3
         self.bboxes = self._convert(bboxes) if bboxes is not None else None
+        # tri-state native-decodability cache: None = unprobed, False =
+        # this tree declined once (skip probes forever), True = decodable
+        self._native_ok = None
 
     def __len__(self):
         return len(self.clips)
@@ -146,42 +145,45 @@ class ClipDataset:
                 index = (index + rng.randint(1, len(self.clips))) % len(self.clips)
         raise RuntimeError("no clip with usable tracks after 16 resamples")
 
-    def _native_clip(self, img_paths, seg_paths):
-        """Read raw bytes and dims when EVERY frame is natively decodable
-        (8-bit RGB/gray, non-interlaced); None -> PIL pipeline."""
-        if not _native.available():
-            return None
-        try:
-            img_bytes = [open(p, "rb").read() for p in img_paths]
-            seg_bytes = [open(p, "rb").read() for p in seg_paths]
-        except OSError:
+    def _native_dims(self, img_bytes, seg_bytes):
+        """(h, w) when EVERY frame is natively decodable (8-bit RGB/gray,
+        non-interlaced PNG); None -> PIL pipeline.  A dataset that ever
+        declines is remembered (``_native_ok``) so non-PNG trees do not
+        pay the header probes every sample."""
+        if self._native_ok is False or not _native.available():
             return None
         dims = _native.native_decodable(img_bytes[0], 3)
-        if dims is None:
-            return None
-        for b in img_bytes[1:]:
-            if _native.native_decodable(b, 3) != dims:
-                return None
-        for b in seg_bytes:
-            if _native.native_decodable(b, 1) != dims:
-                return None
-        return img_bytes, seg_bytes, dims
+        ok = dims is not None
+        if ok:
+            ok = (all(_native.native_decodable(b, 3) == dims
+                      for b in img_bytes[1:])
+                  and all(_native.native_decodable(b, 1) == dims
+                          for b in seg_bytes))
+        self._native_ok = ok
+        return dims if ok else None
 
     def _try_sample(self, index, rng):
         cfg = self.cfg
         clip = self.clips[index]
-        img_paths = [os.path.join(self.img_dir, p + IMG_EXT) for p in clip]
-        seg_paths = [os.path.join(self.seg_dir, p + SEG_EXT) for p in clip]
+        # read each file ONCE; both decode branches work from the bytes
+        img_bytes = [
+            open(os.path.join(self.img_dir, p + IMG_EXT), "rb").read()
+            for p in clip
+        ]
+        seg_bytes = [
+            open(os.path.join(self.seg_dir, p + SEG_EXT), "rb").read()
+            for p in clip
+        ]
         # native fast path: fused decode+flip+crop+normalize/one-hot in C
         # (single pass over the bytes, GIL-free under the worker pool);
         # bit-identical to the PIL/numpy branch below
-        nat = self._native_clip(img_paths, seg_paths)
+        nat = self._native_dims(img_bytes, seg_bytes)
         if nat is None:
-            imgs = [_load_rgb(p) for p in img_paths]
-            segs = [_load_seg(p) for p in seg_paths]
+            imgs = [_decode_rgb(b) for b in img_bytes]
+            segs = [_decode_seg(b) for b in seg_bytes]
             src_h, src_w = imgs[0].shape[:2]
         else:
-            img_bytes, seg_bytes, (src_h, src_w) = nat
+            src_h, src_w = nat
         n_track = cfg.num_track_per_img
         if self.bboxes is not None:
             clip_boxes = [
@@ -295,11 +297,14 @@ class TripletDataset:
         self.img_dir = img_dir
         self.style = style
         self.resize = resize  # (w, h) or None
+        self._native_ok = None  # see ClipDataset._native_dims
 
     def __len__(self):
         return len(self.clips)
 
     def sample(self, index: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
+        import io
+
         from PIL import Image
         entry = self.clips[index]
         if self.style == "vimeo":
@@ -309,19 +314,20 @@ class TripletDataset:
             paths = [os.path.join(self.img_dir, p) for p in entry]
         out: Dict[str, np.ndarray] = {}
         for i, p in enumerate(paths):
-            if self.resize is None and _native.available():
-                data = open(p, "rb").read()
+            data = open(p, "rb").read()  # read once; both branches decode
+            if (self.resize is None and self._native_ok is not False
+                    and _native.available()):
                 dims = _native.native_decodable(data, 3)
                 frame = (None if dims is None else _native.decode_rgb_norm(
                     data, 0, 0, dims[0], dims[1], False, mode=1))
+                self._native_ok = frame is not None
                 if frame is not None:
                     out[f"frame{i + 1}"] = frame
                     h, w = frame.shape[:2]
                     out[f"seg{i + 1}"] = np.zeros((h, w, N_CLASSES),
                                                   np.float32)
                     continue
-            with open(p, "rb") as f:
-                img = Image.open(f).convert("RGB")
+            img = Image.open(io.BytesIO(data)).convert("RGB")
             if self.resize is not None:
                 img = img.resize(self.resize, Image.BILINEAR)
             arr = np.asarray(img, np.float32) / 255.0

@@ -55,12 +55,17 @@ void mem_read_fn(png_structp png, png_bytep out, png_size_t n) {
   r->off += n;
 }
 
-// Decode an 8-bit, non-interlaced PNG with exactly `want` channels
-// (3 = RGB, 1 = gray).  No pixel transforms: staying inside the formats
-// PIL's convert("RGB")/convert("L") maps identically keeps the native
-// path bit-exact; everything else is punted to Python (code 2).
-int decode_exact(const uint8_t* buf, size_t len, int want,
-                 std::vector<uint8_t>& px, uint32_t* oh, uint32_t* ow) {
+// Images past this bound (pixels) are declined rather than allocated:
+// a hostile IHDR can declare up to 1e6 x 1e6, and the PIL fallback
+// applies its own decompression-bomb guard anyway.
+constexpr uint64_t kMaxPixels = 64ull * 1024 * 1024;  // 64 MPix
+
+// setjmp body: every object mutated after setjmp lives in the CALLER's
+// frame (px, rows are references) or is trivially destructible (r), so
+// a png_longjmp cannot unwind through indeterminate C++ autos.
+int decode_with_rows(const uint8_t* buf, size_t len, int want,
+                     std::vector<uint8_t>& px, std::vector<png_bytep>& rows,
+                     uint32_t* oh, uint32_t* ow) {
   if (len < 8 || png_sig_cmp(buf, 0, 8)) return 1;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, quiet_error_fn,
@@ -71,7 +76,6 @@ int decode_exact(const uint8_t* buf, size_t len, int want,
     png_destroy_read_struct(&png, nullptr, nullptr);
     return 1;
   }
-  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return 1;
@@ -86,7 +90,7 @@ int decode_exact(const uint8_t* buf, size_t len, int want,
   const int il = png_get_interlace_type(png, info);
   const int want_ct = (want == 3) ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_GRAY;
   if (ct != want_ct || bd != 8 || il != PNG_INTERLACE_NONE || h == 0 ||
-      w == 0) {
+      w == 0 || static_cast<uint64_t>(h) * w > kMaxPixels) {
     png_destroy_read_struct(&png, &info, nullptr);
     return 2;
   }
@@ -105,6 +109,16 @@ int decode_exact(const uint8_t* buf, size_t len, int want,
   *oh = h;
   *ow = w;
   return 0;
+}
+
+// Decode an 8-bit, non-interlaced PNG with exactly `want` channels
+// (3 = RGB, 1 = gray).  No pixel transforms: staying inside the formats
+// PIL's convert("RGB")/convert("L") maps identically keeps the native
+// path bit-exact; everything else is punted to Python (code 2).
+int decode_exact(const uint8_t* buf, size_t len, int want,
+                 std::vector<uint8_t>& px, uint32_t* oh, uint32_t* ow) {
+  std::vector<png_bytep> rows;  // owned outside the setjmp frame
+  return decode_with_rows(buf, len, want, px, rows, oh, ow);
 }
 
 inline int check_crop(uint32_t H, uint32_t W, int32_t y0, int32_t x0,
@@ -157,7 +171,7 @@ int dvie_png_info(const uint8_t* buf, size_t len, int32_t* h, int32_t* w,
 // mode 0: (v/255)*2-1 (ClipDataset); mode 1: (v/255-0.5)/0.5 (Triplet).
 int dvie_decode_rgb_norm(const uint8_t* buf, size_t len, float* out,
                          int32_t y0, int32_t x0, int32_t ch, int32_t cw,
-                         int32_t flip, int32_t mode) {
+                         int32_t flip, int32_t mode) try {
   std::vector<uint8_t> px;
   uint32_t H = 0, W = 0;
   int rc = decode_exact(buf, len, 3, px, &H, &W);
@@ -191,6 +205,10 @@ int dvie_decode_rgb_norm(const uint8_t* buf, size_t len, float* out,
     }
   }
   return 0;
+} catch (...) {
+  // no exception may escape into the ctypes caller (std::terminate);
+  // bad_alloc etc. degrade to the ordinary decode-failed fallback
+  return 1;
 }
 
 // Fused decode -> flip -> crop -> one-hot.  out: float32 [ch, cw, n];
@@ -199,7 +217,7 @@ int dvie_decode_rgb_norm(const uint8_t* buf, size_t len, float* out,
 // instead of an n-wide gather row copy per pixel.
 int dvie_decode_seg_onehot(const uint8_t* buf, size_t len, float* out,
                            int32_t y0, int32_t x0, int32_t ch, int32_t cw,
-                           int32_t flip, int32_t n_classes) {
+                           int32_t flip, int32_t n_classes) try {
   if (n_classes <= 0 || n_classes > 4096) return 4;
   std::vector<uint8_t> px;
   uint32_t H = 0, W = 0;
@@ -231,13 +249,15 @@ int dvie_decode_seg_onehot(const uint8_t* buf, size_t len, float* out,
     }
   }
   return 0;
+} catch (...) {
+  return 1;
 }
 
 // Raw 8-bit decode (RGB or gray), for tooling that wants the pixels
 // without normalization (tools/video_tools.py consumers).  out must be
 // h*w*channels bytes as reported by dvie_png_info.
 int dvie_decode_u8(const uint8_t* buf, size_t len, uint8_t* out,
-                   int32_t channels) {
+                   int32_t channels) try {
   if (channels != 1 && channels != 3) return 4;
   std::vector<uint8_t> px;
   uint32_t H = 0, W = 0;
@@ -245,6 +265,8 @@ int dvie_decode_u8(const uint8_t* buf, size_t len, uint8_t* out,
   if (rc) return rc;
   std::memcpy(out, px.data(), px.size());
   return 0;
+} catch (...) {
+  return 1;
 }
 
 int dvie_host_abi_version() { return 1; }

@@ -44,12 +44,17 @@ def _build_so() -> bool:
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if res.returncode != 0:
+            return False
+        os.replace(tmp, _SO)  # atomic: concurrent builders race benignly
+        return True
     except Exception:
         return False
-    if res.returncode != 0:
-        return False
-    os.replace(tmp, _SO)  # atomic: concurrent builders race benignly
-    return True
+    finally:
+        try:  # drop any partial artifact from a failed/timed-out compile
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -105,8 +110,10 @@ def _as_u8p(buf: bytes):
 
 def png_info(buf: bytes) -> Optional[Tuple[int, int, int, int, int]]:
     """(h, w, color_type, bit_depth, interlace) or None."""
+    if not enabled():
+        return None
     lib = _load()
-    if lib is None or not enabled():
+    if lib is None:
         return None
     h = ctypes.c_int32()
     w = ctypes.c_int32()
@@ -136,8 +143,10 @@ def native_decodable(buf: bytes, channels: int) -> Optional[Tuple[int, int]]:
 def decode_rgb_norm(buf: bytes, y0: int, x0: int, ch: int, cw: int,
                     flip: bool, mode: int = 0) -> Optional[np.ndarray]:
     """Fused decode+flip+crop+normalize -> float32 (ch, cw, 3), or None."""
+    if not enabled():
+        return None
     lib = _load()
-    if lib is None or not enabled():
+    if lib is None:
         return None
     out = np.empty((ch, cw, 3), np.float32)
     rc = lib.dvie_decode_rgb_norm(
@@ -154,8 +163,10 @@ def decode_seg_onehot(buf: bytes, y0: int, x0: int, ch: int, cw: int,
     A seg id >= n_classes returns None (the PIL fallback's np.eye gather
     then raises IndexError, preserving the loud-failure contract).
     """
+    if not enabled():
+        return None
     lib = _load()
-    if lib is None or not enabled():
+    if lib is None:
         return None
     out = np.empty((ch, cw, n_classes), np.float32)
     rc = lib.dvie_decode_seg_onehot(
@@ -167,8 +178,10 @@ def decode_seg_onehot(buf: bytes, y0: int, x0: int, ch: int, cw: int,
 
 def decode_u8(buf: bytes, channels: int) -> Optional[np.ndarray]:
     """Raw 8-bit decode -> uint8 (h, w[, 3]), or None."""
+    if not enabled():
+        return None
     lib = _load()
-    if lib is None or not enabled():
+    if lib is None:
         return None
     dims = native_decodable(buf, channels)
     if dims is None:

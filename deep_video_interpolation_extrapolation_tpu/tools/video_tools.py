@@ -20,10 +20,20 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from deep_video_interpolation_extrapolation_tpu.native import host as _native
+
 
 def _imread(path: str) -> np.ndarray:
+    data = open(path, "rb").read()
+    if _native.available():  # raw C decode for 8-bit RGB/gray PNGs
+        for channels in (3, 1):
+            arr = _native.decode_u8(data, channels)
+            if arr is not None:
+                return arr
+    import io
+
     from PIL import Image
-    return np.asarray(Image.open(path))
+    return np.asarray(Image.open(io.BytesIO(data)))
 
 
 def resize_images(src_dir: str, dst_dir: str, size: Tuple[int, int],
