@@ -55,6 +55,26 @@ void mem_read_fn(png_structp png, png_bytep out, png_size_t n) {
   r->off += n;
 }
 
+struct MemWriter {
+  uint8_t* data;
+  size_t cap;
+  size_t off;
+  bool overflow;
+};
+
+void mem_write_fn(png_structp png, png_bytep src, png_size_t n) {
+  MemWriter* w = static_cast<MemWriter*>(png_get_io_ptr(png));
+  if (w->off + n > w->cap) {
+    w->overflow = true;
+    png_error(png, "dvie: write past end of buffer");
+    return;
+  }
+  std::memcpy(w->data + w->off, src, n);
+  w->off += n;
+}
+
+void mem_flush_fn(png_structp) {}
+
 // Images past this bound (pixels) are declined rather than allocated:
 // a hostile IHDR can declare up to 1e6 x 1e6, and the PIL fallback
 // applies its own decompression-bomb guard anyway.
@@ -267,6 +287,52 @@ int dvie_decode_u8(const uint8_t* buf, size_t len, uint8_t* out,
   return 0;
 } catch (...) {
   return 1;
+}
+
+// PNG encode to a caller-provided buffer (8-bit RGB or gray, no
+// interlace).  The cycgen product writes thousands of full-res PNGs per
+// run (train/runner.py:569-585); PIL's default zlib level 6 spends most
+// of the wall clock in deflate, so `level` is explicit (1 = Z_BEST_SPEED
+// is the product default — PNG stays lossless, only the byte stream
+// differs).  Returns bytes written, or -1 (error) / -2 (out buffer too
+// small: caller sizes it raw + raw/64 + 4096).
+int64_t dvie_encode_png(const uint8_t* pixels, int32_t h, int32_t w,
+                        int32_t channels, int32_t level, uint8_t* out,
+                        int64_t out_cap) try {
+  if ((channels != 1 && channels != 3) || h <= 0 || w <= 0 ||
+      static_cast<uint64_t>(h) * w > kMaxPixels)
+    return -1;
+  png_structp png = png_create_write_struct(
+      PNG_LIBPNG_VER_STRING, nullptr, quiet_error_fn, quiet_warning_fn);
+  if (!png) return -1;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    return -1;
+  }
+  MemWriter mw{out, static_cast<size_t>(out_cap), 0, false};
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    return mw.overflow ? -2 : -1;
+  }
+  png_set_write_fn(png, &mw, mem_write_fn, mem_flush_fn);
+  png_set_compression_level(png, level < 0 ? 1 : (level > 9 ? 9 : level));
+  // single SUB filter: skips libpng's per-row try-all-filters heuristic
+  // (~2x encode time on RGB for a few % of size on natural images)
+  png_set_filter(png, 0, PNG_FILTER_SUB);
+  png_set_IHDR(png, info, w, h, 8,
+               channels == 3 ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_GRAY,
+               PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+               PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  const size_t rowbytes = static_cast<size_t>(w) * channels;
+  for (int32_t y = 0; y < h; ++y)
+    png_write_row(png, const_cast<png_bytep>(pixels + y * rowbytes));
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  return static_cast<int64_t>(mw.off);
+} catch (...) {
+  return -1;
 }
 
 int dvie_host_abi_version() { return 1; }

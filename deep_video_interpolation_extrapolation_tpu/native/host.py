@@ -88,6 +88,9 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.dvie_decode_seg_onehot.restype = ctypes.c_int
             lib.dvie_decode_u8.argtypes = [u8p, ctypes.c_size_t, u8p, i32]
             lib.dvie_decode_u8.restype = ctypes.c_int
+            lib.dvie_encode_png.argtypes = [
+                u8p, i32, i32, i32, i32, u8p, ctypes.c_int64]
+            lib.dvie_encode_png.restype = ctypes.c_int64
             lib.dvie_host_abi_version.restype = ctypes.c_int
             if lib.dvie_host_abi_version() != 1:
                 _failed = True
@@ -174,6 +177,46 @@ def decode_seg_onehot(buf: bytes, y0: int, x0: int, ch: int, cw: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         y0, x0, ch, cw, 1 if flip else 0, n_classes)
     return out if rc == 0 else None
+
+
+def encode_png(arr: np.ndarray, level: int = 1) -> Optional[bytes]:
+    """Encode uint8 (h, w) gray or (h, w, 3) RGB to PNG bytes, or None.
+
+    ``level`` is the zlib effort; 1 (Z_BEST_SPEED) is the product
+    default — PNG is lossless at every level, only the stream differs.
+    """
+    if not enabled():
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        return None
+    channels = 1 if arr.ndim == 2 else arr.shape[2]
+    if channels not in (1, 3):
+        return None
+    arr = np.ascontiguousarray(arr)
+    h, w = arr.shape[:2]
+    raw = h * w * channels
+    out = np.empty(raw + raw // 64 + 4096, np.uint8)
+    n = lib.dvie_encode_png(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, channels,
+        level, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.nbytes)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()
+
+
+def save_png(path: str, arr: np.ndarray, level: int = 1) -> None:
+    """Write uint8 gray/RGB as PNG: native fast encoder, PIL fallback."""
+    data = encode_png(arr, level)
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return
+    from PIL import Image
+    Image.fromarray(arr).save(path)
 
 
 def decode_u8(buf: bytes, channels: int) -> Optional[np.ndarray]:

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from deep_video_interpolation_extrapolation_tpu.native.host import save_png
+
 from deep_video_interpolation_extrapolation_tpu.core.config import Config
 from deep_video_interpolation_extrapolation_tpu.data import datasets as data_lib
 from deep_video_interpolation_extrapolation_tpu.models import registry
@@ -498,7 +500,6 @@ class Runner:
         """
         if self.cfg.syn_type == "inter" and self.cfg.cycgen_load_dir:
             return self._cycgen_reference()
-        from PIL import Image
         from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
             vis_seg_ids,
         )
@@ -576,13 +577,13 @@ class Runner:
                         (np.asarray(fr[b], np.float32) + 1) * 127.5
                     ).clip(0, 255).astype(np.uint8)
                     ids = np.asarray(jnp.argmax(sg[b], -1), np.uint8)
-                    Image.fromarray(rgb8).save(
-                        os.path.join(clip_dir, "rgb", f"{t:03d}.png"))
-                    Image.fromarray(ids).save(
-                        os.path.join(clip_dir, "seg", f"{t:03d}.png"))
+                    save_png(os.path.join(clip_dir, "rgb",
+                                          f"{t:03d}.png"), rgb8)
+                    save_png(os.path.join(clip_dir, "seg",
+                                          f"{t:03d}.png"), ids)
                     vis = (vis_seg_ids(ids) * 255).astype(np.uint8)
-                    Image.fromarray(vis).save(
-                        os.path.join(clip_dir, "seg_vis", f"{t:03d}.png"))
+                    save_png(os.path.join(clip_dir, "seg_vis",
+                                          f"{t:03d}.png"), vis)
                 n_clips += 1
             if n_clips >= 61:  # reference caps at 61 val clips (InterTrainer.py:699)
                 break
@@ -689,13 +690,13 @@ class Runner:
                 name = f"{int(first_index + i * cfg.interval):0>2d}.0.png"
                 rgb8 = (np.asarray(save_imgs[i][0], np.float32) * 255.0
                         + 0.5).clip(0, 255).astype(np.uint8)
-                Image.fromarray(rgb8).save(
-                    os.path.join(save_dirs["rgb"], clip_dir, name))
-                Image.fromarray(save_ids[i]).save(
-                    os.path.join(save_dirs["seg"], clip_dir, name))
+                save_png(os.path.join(save_dirs["rgb"], clip_dir, name),
+                         rgb8)
+                save_png(os.path.join(save_dirs["seg"], clip_dir, name),
+                         save_ids[i])
                 vis = (vis_seg_ids(save_ids[i]) * 255).astype(np.uint8)
-                Image.fromarray(vis).save(
-                    os.path.join(save_dirs["vis_seg"], clip_dir, name))
+                save_png(os.path.join(save_dirs["vis_seg"], clip_dir, name),
+                         vis)
             n_done += 1
         logger.info("cycgen: wrote %d clips under %s", n_done, out_root)
         return out_root
@@ -848,14 +849,14 @@ class Runner:
             pred_rgb, pred_seg = fwd(x, seg)
             rgb8 = ((np.asarray(pred_rgb[0], np.float32).clip(-1, 1) + 1)
                     * 127.5).astype(np.uint8)
-            Image.fromarray(rgb8).save(
-                os.path.join(root, clip, f"{i0 + 1:0>2d}.0.png"))
+            save_png(os.path.join(root, clip, f"{i0 + 1:0>2d}.0.png"),
+                     rgb8)
             if pred_seg is not None:
                 ids = np.asarray(jnp.argmax(pred_seg[0], -1), np.uint8)
                 seg_dir = os.path.join(seg_root, clip)
                 os.makedirs(seg_dir, exist_ok=True)
-                Image.fromarray(ids).save(
-                    os.path.join(seg_dir, f"{i0 + 1:0>2d}.0.png"))
+                save_png(os.path.join(seg_dir, f"{i0 + 1:0>2d}.0.png"),
+                         ids)
             n_done += 1
         logger.info("mycycgen: interpolated frame %02d.0 for %d clips under %s",
                     first_index + 1, n_done, root)

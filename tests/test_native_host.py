@@ -123,6 +123,45 @@ class TestFusedKernels:
                                       gray)
 
 
+class TestEncoder:
+    def test_encode_roundtrip_rgb_and_gray(self):
+        rng = np.random.RandomState(7)
+        for arr in (rng.randint(0, 256, (37, 61, 3), dtype=np.uint8),
+                    rng.randint(0, 20, (37, 61)).astype(np.uint8)):
+            for level in (0, 1, 6):
+                data = host.encode_png(arr, level=level)
+                assert data is not None
+                # PIL decodes our stream back to the exact pixels
+                got = np.asarray(Image.open(io.BytesIO(data)))
+                np.testing.assert_array_equal(got, arr)
+                # and so does the native decoder
+                ch = 3 if arr.ndim == 3 else 1
+                np.testing.assert_array_equal(host.decode_u8(data, ch), arr)
+
+    def test_encode_rejects_bad_input(self):
+        assert host.encode_png(np.zeros((4, 4), np.float32)) is None
+        assert host.encode_png(np.zeros((4, 4, 4), np.uint8)) is None
+
+    def test_save_png_native_and_fallback(self, tmp_path, monkeypatch):
+        arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        monkeypatch.setenv("DVIE_NATIVE_LOADER", "1")
+        host.save_png(str(tmp_path / "a.png"), arr)
+        monkeypatch.setenv("DVIE_NATIVE_LOADER", "0")
+        host.save_png(str(tmp_path / "b.png"), arr)
+        a = np.asarray(Image.open(tmp_path / "a.png"))
+        b = np.asarray(Image.open(tmp_path / "b.png"))
+        np.testing.assert_array_equal(a, arr)
+        np.testing.assert_array_equal(b, arr)
+
+    def test_encode_non_contiguous(self):
+        rng = np.random.RandomState(9)
+        big = rng.randint(0, 256, (20, 20, 3), dtype=np.uint8)
+        view = big[::2, ::2]  # non-contiguous: wrapper must copy
+        data = host.encode_png(view)
+        got = np.asarray(Image.open(io.BytesIO(data)))
+        np.testing.assert_array_equal(got, view)
+
+
 def _make_tree(tmp_path, n_clips=2, src=150):
     rng = np.random.RandomState(0)
     img_dir, seg_dir = tmp_path / "imgs", tmp_path / "segs"
