@@ -67,15 +67,21 @@ def get_dataset(cfg: Config, vid_len: int = 3):
         if os.path.exists(coord_path):
             with open(coord_path, "rb") as f:
                 boxes = pickle.load(f)
+        # ship uint8 seg ids to the device and one-hot inside the jitted
+        # step (seg_oh) — 80x less seg transfer than the reference's f32
+        # one-hot contract; DVIE_SEG_IDS=0 restores host-side one-hot
+        seg_ids = os.environ.get("DVIE_SEG_IDS", "1") != "0"
         train = val = None
         if cfg.split == "train":
             train = ClipDataset(
                 cfg, clips["train"],
-                bboxes=boxes["train"] if boxes else None, split="train")
+                bboxes=boxes["train"] if boxes else None, split="train",
+                seg_ids=seg_ids)
         if cfg.split == "val":
             val = ClipDataset(
                 cfg, clips["val"],
-                bboxes=boxes["val"] if boxes else None, split="val")
+                bboxes=boxes["val"] if boxes else None, split="val",
+                seg_ids=seg_ids)
         return train, val
 
     if cfg.dataset == "ucf101":

@@ -92,10 +92,16 @@ class ClipDataset:
         img_dir: Optional[str] = None,
         seg_dir: Optional[str] = None,
         src_size: Optional[int] = None,
+        seg_ids: bool = False,
     ):
         self.cfg = cfg
         self.clips = list(clips)
         self.split = split
+        # seg_ids: emit (H, W) uint8 class ids instead of the f32 one-hot
+        # (H, W, 20) — 80x fewer bytes to stack, queue, and ship to the
+        # device; the jitted train steps one-hot on device (seg_oh,
+        # train/common.py).  Bit-identical end to end.
+        self.seg_ids = bool(seg_ids)
         self.img_dir = img_dir or cfg.img_dir
         self.seg_dir = seg_dir or cfg.seg_dir
         # reference: 150px train source, 128px val source (folder.py:85-98)
@@ -144,6 +150,16 @@ class ClipDataset:
             if len(self.clips) > 1:
                 index = (index + rng.randint(1, len(self.clips))) % len(self.clips)
         raise RuntimeError("no clip with usable tracks after 16 resamples")
+
+    @staticmethod
+    def _check_ids(ids: np.ndarray) -> np.ndarray:
+        """ids mode keeps the one-hot path's loud-failure contract: an id
+        >= N_CLASSES raises (np.eye's IndexError) instead of becoming a
+        silent all-zero row in the on-device jax.nn.one_hot."""
+        if ids.max(initial=0) >= N_CLASSES:
+            raise IndexError(
+                f"seg id {int(ids.max())} >= N_CLASSES ({N_CLASSES})")
+        return np.ascontiguousarray(ids)
 
     def _native_dims(self, img_bytes, seg_bytes):
         """(h, w) when EVERY frame is natively decodable (8-bit RGB/gray,
@@ -221,23 +237,35 @@ class ClipDataset:
             if nat is not None:
                 frame = _native.decode_rgb_norm(
                     img_bytes[i], y0, x0, ch, cw, bool(flip), mode=0)
-                onehot = _native.decode_seg_onehot(
-                    seg_bytes[i], y0, x0, ch, cw, bool(flip), N_CLASSES)
                 # declined frames (e.g. a seg id >= N_CLASSES) re-run
                 # under PIL semantics so errors surface identically
                 if frame is None:
                     frame = _pil_frame_rgb(
                         img_bytes[i], bool(flip), y0, x0, ch, cw)
-                if onehot is None:
-                    onehot = _pil_frame_seg(
-                        seg_bytes[i], bool(flip), y0, x0, ch, cw)
                 out[f"frame{i + 1}"] = frame
-                out[f"seg{i + 1}"] = onehot
+                if self.seg_ids:
+                    ids = _native.decode_u8(seg_bytes[i], 1)
+                    if ids is None:
+                        ids = _decode_seg(seg_bytes[i])
+                    if flip:
+                        ids = ids[:, ::-1]
+                    out[f"seg{i + 1}"] = self._check_ids(
+                        ids[y0:y0 + ch, x0:x0 + cw])
+                else:
+                    onehot = _native.decode_seg_onehot(
+                        seg_bytes[i], y0, x0, ch, cw, bool(flip), N_CLASSES)
+                    if onehot is None:
+                        onehot = _pil_frame_seg(
+                            seg_bytes[i], bool(flip), y0, x0, ch, cw)
+                    out[f"seg{i + 1}"] = onehot
                 continue
             img = imgs[i][y0:y0 + ch, x0:x0 + cw]
             seg = segs[i][y0:y0 + ch, x0:x0 + cw]
             out[f"frame{i + 1}"] = img.astype(np.float32) / 255.0 * 2.0 - 1.0
-            out[f"seg{i + 1}"] = np.eye(N_CLASSES, dtype=np.float32)[seg]
+            if self.seg_ids:
+                out[f"seg{i + 1}"] = self._check_ids(seg)
+            else:
+                out[f"seg{i + 1}"] = np.eye(N_CLASSES, dtype=np.float32)[seg]
 
         # bbox adjust + validity filtering (folder.py:219-276)
         if clip_boxes is not None:

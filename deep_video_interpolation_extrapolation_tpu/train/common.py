@@ -64,11 +64,37 @@ def sum_losses(loss_dict: "OrderedDict[str, jnp.ndarray]") -> jnp.ndarray:
     return total
 
 
+def seg_oh(seg: jnp.ndarray) -> jnp.ndarray:
+    """On-device one-hot expansion of integer seg-id maps.
+
+    TPU-first host/device contract: the Cityscapes loader ships (B, H, W)
+    uint8 class ids — 80x fewer bytes across the host->device boundary
+    than the reference's f32 20-channel one-hot (folder.py:195) — and the
+    expansion runs inside the jitted step where XLA fuses it into the
+    consumers.  Float inputs (already one-hot: synthetic, triplet
+    zero-seg, legacy callers) pass through unchanged, so both contracts
+    coexist under one step signature per dtype.
+    """
+    if jnp.issubdtype(seg.dtype, jnp.integer):
+        from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
+            N_CLASSES,
+        )
+        return jax.nn.one_hot(seg, N_CLASSES, dtype=jnp.float32)
+    return seg
+
+
+def expand_segs(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Apply ``seg_oh`` to every seg entry of a batch dict (idempotent)."""
+    return {k: seg_oh(v) if k.startswith("seg") else v
+            for k, v in batch.items()}
+
+
 def get_inter_inputs(batch: Dict[str, jnp.ndarray]):
     """(frame1, frame3) -> predict frame2 (runners/InterTrainer.py:389-394)."""
     x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
-    seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
-    return x, seg, batch["frame2"], batch["seg2"]
+    seg = jnp.concatenate([seg_oh(batch["seg1"]), seg_oh(batch["seg3"])],
+                          axis=-1)
+    return x, seg, batch["frame2"], seg_oh(batch["seg2"])
 
 
 def normalize01(img: jnp.ndarray) -> jnp.ndarray:

@@ -38,6 +38,7 @@ from deep_video_interpolation_extrapolation_tpu.losses.perceptual import (
 from deep_video_interpolation_extrapolation_tpu.train import state as state_lib
 from deep_video_interpolation_extrapolation_tpu.train.common import (
     apply_model,
+    expand_segs,
     make_vgg_module,
     normalize01,
     rgb_bundle,
@@ -57,6 +58,7 @@ def _one_hot_from_logits(seg_logits: jnp.ndarray, n: int = 20) -> jnp.ndarray:
 
 def make_train_step(cfg: Config, model) -> Callable:
     def train_step(state: state_lib.TrainState, batch, rng):
+        batch = expand_segs(batch)
         vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
         if cfg.num_pred_step > 1:
             assert cfg.num_pred_once == 1, "multi-step rollout requires num_pred_once=1 (ExtraTrainer.py:253)"
@@ -131,6 +133,7 @@ def make_train_step(cfg: Config, model) -> Callable:
 def make_eval_step(cfg: Config, model) -> Callable:
     """Single-window val metrics (ExtraTrainer.validate semantics)."""
     def eval_step(state: state_lib.TrainState, batch, rng):
+        batch = expand_segs(batch)
         x = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
         seg = jnp.concatenate([batch["seg1"], batch["seg2"]], axis=-1)
         if cfg.fix_init_frames:

@@ -39,6 +39,7 @@ from deep_video_interpolation_extrapolation_tpu.ops.warp import backward_warp
 from deep_video_interpolation_extrapolation_tpu.train import state as state_lib
 from deep_video_interpolation_extrapolation_tpu.train.common import (
     get_inter_inputs,
+    seg_oh,
     normalize01,
     rgb_bundle,
     sum_losses,
@@ -135,7 +136,7 @@ def make_vae_train_step(cfg: Config, model) -> Callable:
 
     def train_step(params, opt_state, batch_stats, batch, rng):
         rgb_seq = batch["frames"]
-        seg_seq = batch["segs"]
+        seg_seq = seg_oh(batch["segs"])
         fg = batch["fg_masks"]
         bg = batch["bg_masks"]
         gt = rgb_seq[:, 1:]

@@ -40,6 +40,7 @@ from deep_video_interpolation_extrapolation_tpu.train import (
     state as state_lib,
 )
 from deep_video_interpolation_extrapolation_tpu.train.common import (
+    expand_segs,
     get_inter_inputs,
     init_resnet_frozen,
     init_vgg_frozen,
@@ -119,6 +120,7 @@ class Runner:
             # via models/features.load_torch_resnet101_state
             frozen["resnet101"] = init_resnet_frozen(cfg, rn_key)
 
+        batch = expand_segs(batch)  # uint8 seg ids -> one-hot for init
         if self.is_gan:
             self.model = None
             variables = gan_lib.init_variables(cfg, init_key, batch)
@@ -276,6 +278,7 @@ class Runner:
         )
         cfg = self.cfg
         self._ensure_viz_fwd()
+        batch = expand_segs(batch)
         x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
         seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
         self.rng, k = jax.random.split(self.rng)
@@ -334,6 +337,7 @@ class Runner:
             to01,
         )
         self._ensure_viz_fwd()
+        batch = expand_segs(batch)
         x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
         seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
         self.rng, k = jax.random.split(self.rng)
@@ -533,6 +537,7 @@ class Runner:
             return _fwd(x, seg, k)
         n_clips = 0
         for batch in loader:
+            batch = expand_segs(batch)
             imgs = [jnp.asarray(batch["frame1"]), jnp.asarray(batch["frame3"])]
             segs = [jnp.asarray(batch["seg1"]), jnp.asarray(batch["seg3"])]
             if cfg.syn_type == "inter":
