@@ -47,23 +47,27 @@ def run_trace(out_dir: str, iters: int, batch: int = 8) -> None:
         jax.random.PRNGKey(0), rgb, seg, train=False)
 
     @jax.jit
-    def forward_loop(rgb, seg):
+    def forward_loop(rgb, seg_ids):
         def step(carry, _):
-            cur_rgb, cur_seg = carry
+            cur_rgb, cur_ids = carry
+            # uint8 id carry + on-entry one-hot — keep identical to
+            # bench.py so traces attribute the same program
+            oh = jax.nn.one_hot(cur_ids, 20, dtype=cur_rgb.dtype)
+            cur_seg = jnp.concatenate([oh, oh], axis=-1)
             out_rgb, out_seg = model.apply(variables, cur_rgb, cur_seg,
                                            train=False)
             nxt_rgb = jnp.concatenate(
                 [out_rgb, out_rgb], axis=-1).astype(cur_rgb.dtype)
-            oh = jax.nn.one_hot(
-                jnp.argmax(out_seg, -1), 20, dtype=cur_seg.dtype)
-            nxt_seg = jnp.concatenate([oh, oh], axis=-1)
-            return (nxt_rgb, nxt_seg), None
-        (final, _), _ = jax.lax.scan(step, (rgb, seg), None, length=iters)
+            nxt_ids = jnp.argmax(out_seg, -1).astype(jnp.uint8)
+            return (nxt_rgb, nxt_ids), None
+        (final, _), _ = jax.lax.scan(
+            step, (rgb, seg_ids), None, length=iters)
         return jnp.sum(final.astype(jnp.float32))
 
-    float(forward_loop(rgb, seg))  # compile + warm
+    seg_ids = jnp.zeros((batch, h, w), jnp.uint8)
+    float(forward_loop(rgb, seg_ids))  # compile + warm
     with jax.profiler.trace(out_dir):
-        float(forward_loop(rgb, seg))
+        float(forward_loop(rgb, seg_ids))
     print("trace written to", out_dir)
 
 
