@@ -28,12 +28,23 @@ PY = sys.executable
 
 
 def ab8_alive() -> bool:
+    """True while the ab8 supervisor process exists.
+
+    /tmp/ab8.pid is written by the launcher (nohup ... & echo $! >
+    /tmp/ab8.pid), not by _tpu_ab8.py itself — if the file is missing we
+    conservatively report ALIVE so two supervisors never run benches
+    concurrently on the one relay (concurrent runs skew numbers 2-3x);
+    the AB8_COMPLETE marker or the 22 h cap still unblocks us.
+    """
     try:
         with open("/tmp/ab8.pid") as f:
             pid = int(f.read().strip())
+    except Exception:
+        return True  # unknown -> assume alive (see docstring)
+    try:
         os.kill(pid, 0)
         return True
-    except Exception:
+    except OSError:
         return False
 
 

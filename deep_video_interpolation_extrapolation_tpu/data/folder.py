@@ -169,14 +169,23 @@ class ClipDataset:
         if self._native_ok is False or not _native.available():
             return None
         dims = _native.native_decodable(img_bytes[0], 3)
-        ok = dims is not None
-        if ok:
+        if dims is None:
+            self._native_ok = False
+            return None
+        if self._native_ok is None:
+            # first sample decides for the tree; afterwards only frame 0
+            # is probed (for this clip's dims) — ~6 redundant libpng
+            # header parses per sample saved on the steady-state hot
+            # path.  A stray odd frame later is still safe: each decode
+            # call validates its own header and declines to the PIL
+            # fallback per frame.
             ok = (all(_native.native_decodable(b, 3) == dims
                       for b in img_bytes[1:])
                   and all(_native.native_decodable(b, 1) == dims
                           for b in seg_bytes))
-        self._native_ok = ok
-        return dims if ok else None
+            self._native_ok = ok
+            return dims if ok else None
+        return dims
 
     def _try_sample(self, index, rng):
         cfg = self.cfg

@@ -104,6 +104,28 @@ class HighResolutionModule(nn.Module):
     # bypass Pallas fast paths when activations are spatially sharded
     spatial_sharded: bool = False
 
+    def _fuse0_gate(self, y0_packed, t1_like) -> bool:
+        """Single source of truth for "will the fused out-0 kernel run".
+
+        Consulted twice per module: early (with a branch-1 shape proxy) to
+        decide whether branch 0 may honor the cross-stage packing
+        contract by staying packed, and late to route the actual out-0
+        fuse.  Both sites MUST agree — a one-sided edit here once broke
+        the packed contract and tripped the consumer BasicBlock's channel
+        assert at trace time.
+        """
+        import os
+
+        from deep_video_interpolation_extrapolation_tpu.core.hw import (
+            pallas_enabled,
+        )
+        from deep_video_interpolation_extrapolation_tpu.ops import pallas_fuse0
+
+        return (self.num_branches in (2, 3) and self.multi_scale_output
+                and not self.spatial_sharded and pallas_enabled()
+                and os.environ.get("DVIE_FUSE0", "1") != "0"
+                and pallas_fuse0.fits(y0_packed, t1_like))
+
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray]):
         import jax as _jax
@@ -142,24 +164,13 @@ class HighResolutionModule(nn.Module):
                         # path must still emit packed (keep_packed_out0
                         # semantics) — an unpacked emission here would
                         # break the cross-stage packing contract and trip
-                        # the consumer BasicBlock's channel assert
-                        import os as _os2
-
-                        from deep_video_interpolation_extrapolation_tpu.core.hw import (
-                            pallas_enabled as _pe2,
-                        )
-                        from deep_video_interpolation_extrapolation_tpu.ops import (
-                            pallas_fuse0 as _pf0,
-                        )
+                        # the consumer BasicBlock's channel assert.
+                        # Branch 1 isn't computed yet, so gate on a shape
+                        # proxy via the SHARED predicate (_fuse0_gate).
                         t1_proxy = _jax.ShapeDtypeStruct(
                             (h.shape[0], xs[1].shape[1], xs[1].shape[2],
                              self.num_channels[0]), h.dtype)
-                        keep_for_contract = not (
-                            self.num_branches in (2, 3)
-                            and self.multi_scale_output
-                            and not self.spatial_sharded and _pe2()
-                            and _os2.environ.get("DVIE_FUSE0", "1") != "0"
-                            and _pf0.fits(h, t1_proxy))
+                        keep_for_contract = not self._fuse0_gate(h, t1_proxy)
                     if not keep_for_contract:
                         # keep the packed tensor too: the j<i stride-2
                         # fuse convs consume it directly (packed_io), so
@@ -177,20 +188,14 @@ class HighResolutionModule(nn.Module):
 
         full_size = ((ys[0].shape[1], ys[0].shape[2] * 2) if y0_packed
                      else ys[0].shape[1:3])
-        import os as _os
-        from deep_video_interpolation_extrapolation_tpu.core.hw import (
-            pallas_enabled,
-        )
-        use_fuse0 = (
-            y0_packed_t is not None and self.num_branches in (2, 3)
-            and self.multi_scale_output and not self.spatial_sharded
-            and pallas_enabled()
-            and _os.environ.get("DVIE_FUSE0", "1") != "0")
+        use_fuse0 = (y0_packed_t is not None
+                     and self._fuse0_gate(y0_packed_t, ys[1]))
         if use_fuse0:
+            import os as _os
+
             from deep_video_interpolation_extrapolation_tpu.ops import (
                 pallas_fuse0,
             )
-            use_fuse0 = pallas_fuse0.fits(y0_packed_t, ys[1])
         outs = []
         n_out = self.num_branches if self.multi_scale_output else 1
         for i in range(n_out):

@@ -140,6 +140,8 @@ def native_decodable(buf: bytes, channels: int) -> Optional[Tuple[int, int]]:
     want_ct = 2 if channels == 3 else 0  # PNG_COLOR_TYPE_RGB / _GRAY
     if ct != want_ct or bd != 8 or il != 0:
         return None
+    if h * w > 64 * 1024 * 1024:  # decoders' kMaxPixels (dvie_host.cpp)
+        return None
     return h, w
 
 

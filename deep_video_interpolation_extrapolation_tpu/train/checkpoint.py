@@ -72,8 +72,13 @@ def _restructure(target, restored):
         return target if not jax.tree_util.tree_leaves(target) else restored
     if isinstance(target, tuple) and hasattr(target, "_fields"):  # namedtuple
         if isinstance(restored, dict):
+            # a field absent from the checkpoint (e.g. an optax version
+            # bump added a state field since the save) keeps the target's
+            # freshly-initialized value — same graceful-merge semantics
+            # as the plain-dict branch below
             return type(target)(**{
-                f: _restructure(getattr(target, f), restored[f])
+                f: (_restructure(getattr(target, f), restored[f])
+                    if f in restored else getattr(target, f))
                 for f in target._fields})
         if isinstance(restored, (list, tuple)):
             return type(target)(*[
@@ -81,6 +86,7 @@ def _restructure(target, restored):
     if isinstance(target, (list, tuple)):
         if isinstance(restored, dict):  # tuples stored as {'0': ..., '1': ...}
             seq = [_restructure(t, restored[str(i)])
+                   if str(i) in restored else t
                    for i, t in enumerate(target)]
         elif isinstance(restored, (list, tuple)) and len(restored) == len(target):
             seq = [_restructure(t, r) for t, r in zip(target, restored)]

@@ -210,7 +210,11 @@ class Runner:
         out = {}
         for k, v in batch.items():
             ndim = v.ndim
-            if k.startswith(("frame", "seg")) and ndim == 4:
+            # (B,H,W,C) float frames/segs AND (B,H,W) uint8 seg-id maps
+            # (the DVIE_SEG_IDS device contract) spatial-shard on H —
+            # otherwise seg_oh's one-hot inherits batch-only sharding and
+            # XLA reshards the full-res f32 tensor every step
+            if k.startswith(("frame", "seg")) and ndim in (3, 4):
                 sh = mesh_lib.batch_sharding(
                     self.mesh, ndim,
                     spatial_dim=1 if self.cfg.num_spatial_shards > 1 else None)
@@ -538,8 +542,15 @@ class Runner:
         n_clips = 0
         for batch in loader:
             batch = expand_segs(batch)
-            imgs = [jnp.asarray(batch["frame1"]), jnp.asarray(batch["frame3"])]
-            segs = [jnp.asarray(batch["seg1"]), jnp.asarray(batch["seg3"])]
+            # conditioning frames must match training: interpolation takes
+            # the clip endpoints (frame1, frame3 — inter.py), extrapolation
+            # the two leading frames (frame1, frame2 — extra.py /
+            # ExtraTrainer.py:249-251); feeding (frame1, frame3) to an
+            # extra model would double the temporal spacing it was
+            # trained on
+            pair = ("1", "3") if cfg.syn_type == "inter" else ("1", "2")
+            imgs = [jnp.asarray(batch[f"frame{i}"]) for i in pair]
+            segs = [jnp.asarray(batch[f"seg{i}"]) for i in pair]
             if cfg.syn_type == "inter":
                 x = jnp.concatenate(imgs, axis=-1)
                 seg = jnp.concatenate(segs, axis=-1)

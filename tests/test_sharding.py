@@ -74,6 +74,31 @@ def test_spatial_sharding_executes():
     assert np.isfinite(float(f(xs)))
 
 
+def test_runner_shard_spatial_shards_uint8_seg_ids():
+    """Runner._shard must spatial-shard the (B, H, W) uint8 seg-id maps
+    (the DVIE_SEG_IDS device contract) like the 4-D frames — otherwise
+    seg_oh's full-res one-hot inherits batch-only sharding and XLA
+    reshards it every step."""
+    from types import SimpleNamespace
+
+    from deep_video_interpolation_extrapolation_tpu.train.runner import Runner
+
+    mesh = create_mesh(4, 2)
+    fake = SimpleNamespace(mesh=mesh,
+                           cfg=SimpleNamespace(num_spatial_shards=2))
+    batch = {
+        "frame1": np.zeros((4, 16, 8, 3), np.float32),
+        "seg1": np.zeros((4, 16, 8), np.uint8),
+        "bboxes": np.zeros((4, 3, 2, 4), np.float32),
+    }
+    out = Runner._shard(fake, batch)
+    assert out["frame1"].sharding.spec == P(DATA_AXIS, SPATIAL_AXIS,
+                                            None, None)
+    assert out["seg1"].sharding.spec == P(DATA_AXIS, SPATIAL_AXIS, None)
+    # non-frame/seg arrays stay batch-sharded only
+    assert out["bboxes"].sharding.spec == P(DATA_AXIS, None, None, None)
+
+
 def test_full_model_1d_vs_2d_mesh_forward():
     """InterNet/HRNet forward on a (8,1) data-only mesh == a (4,2)
     data x spatial mesh (H sharded) == unsharded — the guarantee that the

@@ -226,6 +226,30 @@ class TestGANTrainStep:
 
 
 class TestCheckpoint:
+    def test_restructure_tolerates_missing_namedtuple_field(self):
+        """A checkpoint saved before an optax version added a state field
+        must resume: absent fields keep the target's fresh value (same
+        graceful merge the plain-dict branch always had)."""
+        from collections import namedtuple
+
+        from deep_video_interpolation_extrapolation_tpu.train.checkpoint import (
+            _restructure,
+        )
+
+        New = namedtuple("New", ["mu", "nu", "extra"])
+        target = New(mu=jnp.ones(2), nu=jnp.zeros(2), extra=jnp.full(2, 7.0))
+        restored = {"mu": np.full(2, 3.0), "nu": np.full(2, 4.0)}
+        out = _restructure(target, restored)
+        assert isinstance(out, New)
+        np.testing.assert_allclose(np.asarray(out.mu), 3.0)
+        np.testing.assert_allclose(np.asarray(out.nu), 4.0)
+        np.testing.assert_allclose(np.asarray(out.extra), 7.0)
+        # index-keyed tuple dicts get the same tolerance
+        out2 = _restructure((jnp.ones(1), jnp.full(1, 5.0)),
+                            {"0": np.zeros(1)})
+        np.testing.assert_allclose(np.asarray(out2[0]), 0.0)
+        np.testing.assert_allclose(np.asarray(out2[1]), 5.0)
+
     def test_roundtrip_and_selective_load(self, tmp_path):
         cfg = _cfg()
         model = TinyInterNet(cfg)
