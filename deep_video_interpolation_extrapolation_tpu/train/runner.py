@@ -506,7 +506,12 @@ class Runner:
         rgb/seg-id/seg-vis PNG trees under
         ``<exp>/cycgen/<dataset>/<HxW>/<split>/``.
         """
-        if self.cfg.syn_type == "inter" and self.cfg.cycgen_load_dir:
+        # with a load dir, both syn types follow the reference's tree
+        # contract — InterTrainer.cycgen (691-783) and ExtraTrainer.cycgen
+        # (586-757) read the same NN.0.png trees and write the same
+        # extra_int_{interval}_len_{vid}_nearest layout; only the model
+        # forward differs
+        if self.cfg.cycgen_load_dir:
             return self._cycgen_reference()
         from deep_video_interpolation_extrapolation_tpu.data.cityscapes import (
             vis_seg_ids,
@@ -607,7 +612,13 @@ class Runner:
         return out_root
 
     def _cycgen_reference(self) -> str:
-        """The reference's inter cycgen contract (InterTrainer.py:691-783).
+        """The reference's cycgen tree contract — interpolation
+        (InterTrainer.py:691-783) and extrapolation
+        (ExtraTrainer.py:586-757) share it verbatim: same NN.0.png load
+        trees, same mini_test window updates, same
+        extra_int_{interval}_len_{vid}_nearest output layout; only the
+        model forward (and its output unpacking, _ensure_minitest_fwd)
+        differs.
 
         - Clip list: ``root_clip.pkl``'s ``val`` entries, first 61
           (InterTrainer.py:693-695); falls back to the sorted clip
@@ -737,6 +748,11 @@ class Runner:
             # (InterTrainer.py:825: ..., img = self.model(...))
             if len(out) > 2 and isinstance(out[2], (list, tuple)):
                 return out[2][-1], out[1]
+            # ExtraInpaintNet returns (coarse, seg, mask, inpainted); the
+            # reference rolls out the inpainted composite
+            # (ExtraTrainer.py:719-721: ..., img = self.model(...))
+            if len(out) == 4:
+                return out[3], out[1]
             return out[0], out[1]
 
         self._minitest_fwd = jax.jit(fwd)
@@ -760,10 +776,18 @@ class Runner:
 
         img1, img2 = [im * 2.0 - 1.0 for im in img_list]   # [-1,1] inputs
         seg1, seg2 = seg_list
+        init_img2, init_seg2 = img2, seg2
         pred_imgs, pred_ids = [], []
         for _ in range(cfg.num_pred_step):
             x = jnp.concatenate([img1, img2], axis=-1)
             seg = jnp.concatenate([seg1, seg2], axis=-1)
+            if cfg.syn_type == "extra" and cfg.fix_init_frames:
+                # training prepends the second init frame at every rollout
+                # step (extra.py / ExtraTrainer.py:267-270); the
+                # reference's own mini_test forgets this and would crash
+                # on a fix_init_frames-trained model — documented fix
+                x = jnp.concatenate([init_img2, x], axis=-1)
+                seg = jnp.concatenate([init_seg2, seg], axis=-1)
             self.rng, k = jax.random.split(self.rng)
             img, seg_logits = _fwd(x, seg, k)
             for j in range(cfg.num_pred_once):

@@ -121,6 +121,42 @@ def test_mini_test_window_update_num_pred_once_1(cycgen_tree):
         seg1, seg2 = seg2, jax.nn.one_hot(pid, 20, dtype=seg1.dtype)
 
 
+@pytest.mark.parametrize("fix_init", [False, True])
+def test_cycgen_reference_extra(tmp_path, fix_init):
+    """Extrapolation follows the SAME load/save tree contract
+    (ExtraTrainer.py:586-757); with fix_init_frames the second init frame
+    is prepended at every rollout step like training (extra.py /
+    ExtraTrainer.py:267-270 — the reference's own mini_test forgets this
+    and would crash on a fix_init_frames-trained model)."""
+    load_dir = str(tmp_path / "load")
+    clips = ["val/frankfurt/frankfurt_000000_000275"]
+    _make_load_tree(load_dir, clips, indices=(0, 2))
+    cfg = Config(
+        runner="EXTRA", model="ExtraNet", syn_type="extra", mode="xs2xs",
+        split="cycgen", train_coarse=True, coarse_model="HRNet",
+        compute_dtype="float32", input_h=H, input_w=W, batch_size=1,
+        dataset="cityscape", cycgen_load_dir=load_dir, interval=2,
+        vid_length=2, num_pred_step=2, num_pred_once=1,
+        fix_init_frames=fix_init)
+    exp_dir = str(tmp_path / "exp")
+    os.makedirs(exp_dir, exist_ok=True)
+    runner = Runner(cfg, exp_dir)
+    out_root = runner.cycgen()
+    assert out_root.endswith(
+        os.path.join("cycgen", "cityscape", f"{H}x{W}",
+                     "extra_int_2_len_2_nearest"))
+    expect_names = [f"{i * 2:0>2d}.0.png" for i in range(2 + 2)]
+    for kind in ("rgb", "seg", "vis_seg"):
+        d = os.path.join(out_root, kind, clips[0])
+        assert sorted(os.listdir(d)) == sorted(expect_names), d
+    # the first two frames are the inputs themselves
+    in_rgb = np.asarray(Image.open(os.path.join(
+        load_dir, "rgb", clips[0], "02.0.png")))
+    out_rgb = np.asarray(Image.open(
+        os.path.join(out_root, "rgb", clips[0], "02.0.png")))
+    np.testing.assert_array_equal(in_rgb, out_rgb)
+
+
 def test_mycycgen_consumes_cycgen_output(cycgen_tree):
     """mycycgen pointed at the cycgen-written tree fills the midpoint frame
     (VERDICT r1 #4: 'mycycgen can consume cycgen's output directly')."""
