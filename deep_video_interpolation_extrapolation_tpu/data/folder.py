@@ -201,16 +201,32 @@ class ClipDataset:
         ]
         # native fast path: fused decode+flip+crop+normalize/one-hot in C
         # (single pass over the bytes, GIL-free under the worker pool);
-        # bit-identical to the PIL/numpy branch below
+        # bit-identical to the PIL/numpy branch below.  Pixel decode is
+        # DEFERRED past the bbox validity check: a clip rejected for
+        # losing every track to the crop (-> resample) costs only header
+        # reads, never full decodes.
         nat = self._native_dims(img_bytes, seg_bytes)
         if nat is None:
-            imgs = [_decode_rgb(b) for b in img_bytes]
-            segs = [_decode_seg(b) for b in seg_bytes]
-            src_h, src_w = imgs[0].shape[:2]
+            import io
+
+            from PIL import Image
+            # header-only: PIL defers pixel decode until .load()
+            w0, h0 = Image.open(io.BytesIO(img_bytes[0])).size
+            src_h, src_w = h0, w0
         else:
             src_h, src_w = nat
         n_track = cfg.num_track_per_img
         if self.bboxes is not None:
+            # the bbox contract is square src_size trees (the reference's
+            # 150-train/128-val dirs): _convert scales pkl boxes by
+            # src_size/1024|512 and flip reflects about src_size-1.  A
+            # mismatched tree would silently mis-scale every box, so
+            # validate against the dims the images actually decode to.
+            if not (src_h == src_w == self.src_size):
+                raise ValueError(
+                    f"bbox tracks need square {self.src_size}px frames, "
+                    f"got {src_h}x{src_w} — pass the matching "
+                    "--img_dir/--seg_dir tree or src_size")
             clip_boxes = [
                 [None if b is None else list(b) for b in frame]
                 for frame in self.bboxes[index]
@@ -220,9 +236,6 @@ class ClipDataset:
 
         flip = rng.randint(0, 3) and self.split == "train"
         if flip:
-            if nat is None:
-                imgs = [img[:, ::-1] for img in imgs]
-                segs = [s[:, ::-1] for s in segs]
             if clip_boxes is not None:
                 w_last = self.src_size - 1
                 for frame in clip_boxes:
@@ -235,48 +248,26 @@ class ClipDataset:
             hs = correlated_crop_params(rng, src_h, ch)
             ws = correlated_crop_params(rng, src_w, cw)
             crops = [(hs[i], ws[i]) for i in range(min(3, self.vid_len))]
+            # clips longer than 3 frames (deep extrapolation rollouts):
+            # continue the per-step linear drift, clamped to the valid
+            # range, so the simulated camera motion spans the whole clip.
+            # (The reference CRASHES here: get_seq_crop_params returns a
+            # 3-tuple and folder.py:189 indexes it with frame 4+ —
+            # consistent with deep-rollout training being stale, SURVEY
+            # §2.7.)
             while len(crops) < self.vid_len:
-                crops.append(crops[-1])
+                (h2, w2), (h1, w1) = crops[-1], crops[-2]
+                crops.append((
+                    int(np.clip(2 * h2 - h1, 0, src_h - ch)),
+                    int(np.clip(2 * w2 - w1, 0, src_w - cw)),
+                ))
         else:
             crops = [(0, 0)] * self.vid_len
 
-        out: Dict[str, np.ndarray] = {}
-        for i in range(self.vid_len):
-            y0, x0 = crops[i]
-            if nat is not None:
-                frame = _native.decode_rgb_norm(
-                    img_bytes[i], y0, x0, ch, cw, bool(flip), mode=0)
-                # declined frames (e.g. a seg id >= N_CLASSES) re-run
-                # under PIL semantics so errors surface identically
-                if frame is None:
-                    frame = _pil_frame_rgb(
-                        img_bytes[i], bool(flip), y0, x0, ch, cw)
-                out[f"frame{i + 1}"] = frame
-                if self.seg_ids:
-                    ids = _native.decode_u8(seg_bytes[i], 1)
-                    if ids is None:
-                        ids = _decode_seg(seg_bytes[i])
-                    if flip:
-                        ids = ids[:, ::-1]
-                    out[f"seg{i + 1}"] = self._check_ids(
-                        ids[y0:y0 + ch, x0:x0 + cw])
-                else:
-                    onehot = _native.decode_seg_onehot(
-                        seg_bytes[i], y0, x0, ch, cw, bool(flip), N_CLASSES)
-                    if onehot is None:
-                        onehot = _pil_frame_seg(
-                            seg_bytes[i], bool(flip), y0, x0, ch, cw)
-                    out[f"seg{i + 1}"] = onehot
-                continue
-            img = imgs[i][y0:y0 + ch, x0:x0 + cw]
-            seg = segs[i][y0:y0 + ch, x0:x0 + cw]
-            out[f"frame{i + 1}"] = img.astype(np.float32) / 255.0 * 2.0 - 1.0
-            if self.seg_ids:
-                out[f"seg{i + 1}"] = self._check_ids(seg)
-            else:
-                out[f"seg{i + 1}"] = np.eye(N_CLASSES, dtype=np.float32)[seg]
-
-        # bbox adjust + validity filtering (folder.py:219-276)
+        # bbox adjust + validity filtering (folder.py:219-276) — runs
+        # BEFORE pixel decode (it needs only crops + boxes), so a
+        # rejected clip skips the decode work entirely.  RNG draw order
+        # (flip -> crops -> duplication) is unchanged.
         if clip_boxes is not None:
             kept = [[], [], []]
             # the pkls keep clips with >= 1 passing track, capped at but
@@ -308,11 +299,53 @@ class ClipDataset:
                 k = rng.randint(len(kept[1]))
                 for i in range(3):
                     kept[i].append(list(kept[i][k]))
-            boxes = np.asarray(kept, np.float32)[:, :n_track]
+            boxes = np.asarray(kept, np.float32)
         else:
             boxes = np.tile(
                 np.array([0.0, 0.0, ch - 1.0, cw - 1.0], np.float32),
                 (3, n_track, 1))
+
+        out: Dict[str, np.ndarray] = {}
+        for i in range(self.vid_len):
+            y0, x0 = crops[i]
+            if nat is not None:
+                frame = _native.decode_rgb_norm(
+                    img_bytes[i], y0, x0, ch, cw, bool(flip), mode=0)
+                # declined frames (e.g. a seg id >= N_CLASSES) re-run
+                # under PIL semantics so errors surface identically
+                if frame is None:
+                    frame = _pil_frame_rgb(
+                        img_bytes[i], bool(flip), y0, x0, ch, cw)
+                out[f"frame{i + 1}"] = frame
+                if self.seg_ids:
+                    ids = _native.decode_u8(seg_bytes[i], 1)
+                    if ids is None:
+                        ids = _decode_seg(seg_bytes[i])
+                    if flip:
+                        ids = ids[:, ::-1]
+                    out[f"seg{i + 1}"] = self._check_ids(
+                        ids[y0:y0 + ch, x0:x0 + cw])
+                else:
+                    onehot = _native.decode_seg_onehot(
+                        seg_bytes[i], y0, x0, ch, cw, bool(flip), N_CLASSES)
+                    if onehot is None:
+                        onehot = _pil_frame_seg(
+                            seg_bytes[i], bool(flip), y0, x0, ch, cw)
+                    out[f"seg{i + 1}"] = onehot
+                continue
+            # PIL branch: the same per-frame fused helpers the native
+            # path falls back to (decode happens here, post-validation)
+            out[f"frame{i + 1}"] = _pil_frame_rgb(
+                img_bytes[i], bool(flip), y0, x0, ch, cw)
+            if self.seg_ids:
+                ids = _decode_seg(seg_bytes[i])
+                if flip:
+                    ids = ids[:, ::-1]
+                out[f"seg{i + 1}"] = self._check_ids(
+                    ids[y0:y0 + ch, x0:x0 + cw])
+            else:
+                out[f"seg{i + 1}"] = _pil_frame_seg(
+                    seg_bytes[i], bool(flip), y0, x0, ch, cw)
         out["bboxes"] = boxes
         return out
 
@@ -413,9 +446,12 @@ class Loader:
         return n
 
     def _sample_rng(self, pos: int) -> np.random.RandomState:
-        # decorrelate (seed, epoch, position) into a 31-bit stream id
-        return np.random.RandomState(
-            (self.seed * 1000003 + self.epoch * 9176 + pos) % (2 ** 31 - 1))
+        # collision-resistant (seed, epoch, position) stream: the earlier
+        # linear hash (seed*1000003 + epoch*9176 + pos) aliased across
+        # epochs for datasets longer than 9176 samples — (e, 9176+k) and
+        # (e+1, k) repeated identical augmentation streams
+        ss = np.random.SeedSequence([self.seed, self.epoch, pos])
+        return np.random.RandomState(ss.generate_state(4))
 
     def _order(self) -> np.ndarray:
         rng = np.random.RandomState(self.seed + self.epoch)

@@ -65,13 +65,19 @@ class Runner:
     def __init__(self, cfg: Config, exp_dir: str):
         self.cfg = cfg
         self.exp_dir = exp_dir
-        import math
         num_data = cfg.num_data_shards
         if num_data <= 0:
             # largest data-parallel degree the global batch divides into
-            # (the reference asserts bs % num_gpus == 0; we auto-fit)
+            # (the reference asserts bs % num_gpus == 0; we auto-fit —
+            # NOT gcd: gcd(8, 6)=2 would idle two usable devices)
             avail = len(jax.devices()) // max(cfg.num_spatial_shards, 1)
-            num_data = math.gcd(cfg.batch_size, avail) or 1
+            if avail < 1:
+                raise ValueError(
+                    f"num_spatial_shards={cfg.num_spatial_shards} needs at "
+                    f"least that many devices "
+                    f"({len(jax.devices())} available)")
+            num_data = max(d for d in range(1, avail + 1)
+                           if cfg.batch_size % d == 0)
         self.mesh = mesh_lib.create_mesh(num_data, cfg.num_spatial_shards)
         self.is_gan = cfg.model == "InterGANNet"
         self.epoch = cfg.start_epoch
@@ -88,6 +94,9 @@ class Runner:
         self.writer = _writer(cfg, exp_dir) if jax.process_index() == 0 else None
         self._viz_fwd = None
         self._minitest_fwd = None
+        self._train_loader = None
+        self._val_loader = None
+        self._profiled = False
         self._disc_fwd = None
 
     # ------------------------------------------------------------- build
@@ -378,8 +387,12 @@ class Runner:
 
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
-        dataset, _ = data_lib.get_dataset(cfg, vid_len=self.vid_len)
-        loader = data_lib.make_loader(cfg, dataset)
+        if self._train_loader is None:
+            # build dataset + loader ONCE across epochs (the clip/bbox
+            # pickles are multi-MB disk reads); set_epoch reshuffles
+            dataset, _ = data_lib.get_dataset(cfg, vid_len=self.vid_len)
+            self._train_loader = data_lib.make_loader(cfg, dataset)
+        loader = self._train_loader
         self.state = jax.device_put(
             self.state, mesh_lib.replicated_sharding(self.mesh))
         loader.set_epoch(self.epoch)
@@ -388,10 +401,16 @@ class Runner:
         t0 = time.time()
         last: Dict[str, float] = {}
         pending = []   # device-side loss dicts; read back at disp_interval
-        profile_dir = os.environ.get("DVIE_PROFILE_DIR")
+        # trace exactly once per process (a second start_trace raises);
+        # a short epoch (< 7 steps) stops the trace at epoch end below
+        profile_dir = (None if self._profiled
+                       else os.environ.get("DVIE_PROFILE_DIR"))
+        tracing = False
         for i, batch in enumerate(self._device_prefetch(loader)):
             if profile_dir and i == 2:
                 jax.profiler.start_trace(profile_dir)
+                tracing = True
+                self._profiled = True
             load_t += time.time() - t0
             t0 = time.time()
             self.rng, step_key = jax.random.split(self.rng)
@@ -403,11 +422,13 @@ class Runner:
             comp_t += time.time() - t0
             t0 = time.time()  # restart: the readback span below must not
             # re-count the dispatch interval just accumulated
-            if profile_dir and i == 6:
+            if tracing and i == 6:
                 jax.profiler.stop_trace()
-                profile_dir = None
+                tracing = False
             if i % cfg.disp_interval == 0:
-                for d in pending:
+                # ONE batched transfer for the whole buffer — per-scalar
+                # float() would pay the ~30 ms relay round trip per loss
+                for d in jax.device_get(pending):
                     last = {k: float(v) for k, v in d.items()}
                     bank.update(last)
                 pending = []
@@ -427,7 +448,9 @@ class Runner:
                 else:
                     self._log_images(batch, self.epoch * len(loader) + i)
             t0 = time.time()
-        for d in pending:
+        if tracing:  # epoch shorter than the stop step
+            jax.profiler.stop_trace()
+        for d in jax.device_get(pending):
             last = {k: float(v) for k, v in d.items()}
             bank.update(last)
         return last
@@ -444,8 +467,11 @@ class Runner:
     # ------------------------------------------------------------- val
     def validate(self) -> Dict[str, float]:
         cfg = self.cfg
-        _, dataset = data_lib.get_dataset(cfg, vid_len=self.vid_len)
-        loader = data_lib.make_loader(cfg, dataset, shuffle=False)
+        if self._val_loader is None:
+            _, dataset = data_lib.get_dataset(cfg, vid_len=self.vid_len)
+            self._val_loader = data_lib.make_loader(cfg, dataset,
+                                                    shuffle=False)
+        loader = self._val_loader
         self.state = jax.device_put(
             self.state, mesh_lib.replicated_sharding(self.mesh))
         bank = MetricBank([])
@@ -460,7 +486,8 @@ class Runner:
             else:
                 batch = self._shard(batch)
             self.rng, step_key = jax.random.split(self.rng)
-            metrics = self.eval_step(self.state, batch, step_key)
+            metrics = jax.device_get(  # one batched transfer per batch
+                self.eval_step(self.state, batch, step_key))
             # weight by the TRUE batch size so the tail doesn't skew means
             bank.update({k: float(v) for k, v in metrics.items()}, n=n)
         avg = bank.averages()
@@ -529,21 +556,16 @@ class Runner:
 
         # the PRNG key is a jit ARGUMENT: splitting self.rng inside the
         # traced closure would freeze one key for every clip (same VAE
-        # latent everywhere) and rebind self.rng to a leaked tracer
-        def _fwd(x, seg, key):
-            model = _GanEvalAdapter(cfg) if self.is_gan else self.model
-            variables = {"params": self.state.params}
-            if self.state.batch_stats:
-                variables["batch_stats"] = self.state.batch_stats
-            out = model.apply(variables, x, seg, train=False,
-                              rngs={"noise": key})
-            return out[0], out[1]
-
-        _fwd = jax.jit(_fwd)
+        # latent everywhere) and rebind self.rng to a leaked tracer.
+        # Shares _ensure_minitest_fwd so refine/stage3/inpaint models
+        # save and roll out their FINAL prediction (_final_output), and
+        # params stay jit arguments instead of baked-in constants.
+        self._ensure_minitest_fwd()
 
         def fwd(x, seg):
             self.rng, k = jax.random.split(self.rng)
-            return _fwd(x, seg, k)
+            return self._minitest_fwd(
+                self.state.params, self.state.batch_stats or {}, x, seg, k)
         n_clips = 0
         for batch in loader:
             batch = expand_segs(batch)
@@ -589,6 +611,8 @@ class Runner:
                             nxt_seg[..., 20 * j:20 * j + 20], -1), 20))
 
             for b in range(frames[0].shape[0]):
+                if n_clips >= 61:  # cap applies per clip, not per batch
+                    break
                 clip_dir = os.path.join(out_root, f"clip_{n_clips:05d}")
                 os.makedirs(os.path.join(clip_dir, "rgb"), exist_ok=True)
                 os.makedirs(os.path.join(clip_dir, "seg"), exist_ok=True)
@@ -685,6 +709,15 @@ class Runner:
 
         def load_seg_oh(path):
             ids = np.asarray(Image.open(path), np.int64)
+            if ids.max(initial=0) >= 20:
+                # loud, actionable failure instead of np.eye's IndexError:
+                # e.g. Cityscapes 255-ignore dumps, or the reference's own
+                # saved seg trees (save_image writes 255 for every id>=1,
+                # see the deviation note above)
+                raise ValueError(
+                    f"{path}: seg ids up to {int(ids.max())} — not a "
+                    "20-class id map (cycgen_load_dir must point at "
+                    "myseg_id-style trees)")
             return jnp.asarray(np.eye(20, dtype=np.float32)[ids])[None]
 
         n_done = 0
@@ -744,18 +777,31 @@ class Runner:
                 variables["batch_stats"] = batch_stats
             out = model.apply(variables, x, seg, train=False,
                               rngs={"noise": key})
-            # refine models: the reference uses the REFINED prediction
-            # (InterTrainer.py:825: ..., img = self.model(...))
-            if len(out) > 2 and isinstance(out[2], (list, tuple)):
-                return out[2][-1], out[1]
-            # ExtraInpaintNet returns (coarse, seg, mask, inpainted); the
-            # reference rolls out the inpainted composite
-            # (ExtraTrainer.py:719-721: ..., img = self.model(...))
-            if len(out) == 4:
-                return out[3], out[1]
-            return out[0], out[1]
+            return Runner._final_output(out)
 
         self._minitest_fwd = jax.jit(fwd)
+
+    @staticmethod
+    def _final_output(out):
+        """Final (rgb, seg) of a composite's eval tuple — the stage the
+        reference saves/rolls out:
+
+        - InterStage3Net (coarse, seg, refine_rgbs, stage3_rgbs, flows):
+          the stage3 re-refinement is the final output (inter.py's eval
+          step scores stage3_imgs[-1] as 'the' prediction);
+        - InterRefineNet (coarse, seg, refine_rgbs): the refined
+          prediction (InterTrainer.py:825);
+        - ExtraInpaintNet (coarse, seg, mask, inpainted): the inpainted
+          composite (ExtraTrainer.py:719-721);
+        - everything else: the coarse output.
+        """
+        if len(out) == 5:
+            return out[3][-1], out[1]
+        if len(out) == 4:
+            return out[3], out[1]
+        if len(out) > 2 and isinstance(out[2], (list, tuple)):
+            return out[2][-1], out[1]
+        return out[0], out[1]
 
     def _mini_test(self, img_list, seg_list):
         """Sliding-window rollout (InterTrainer.py:786-856).
@@ -847,27 +893,24 @@ class Runner:
 
         def load_seg(path):
             ids = np.asarray(Image.open(path), np.int32)
+            if ids.max(initial=0) >= 20:
+                raise ValueError(
+                    f"{path}: seg ids up to {int(ids.max())} — not a "
+                    "20-class id map")
             return jnp.asarray(np.eye(20, dtype=np.float32)[ids])[None]
 
         # key passed as a jit argument (see cycgen: splitting inside the
-        # trace reuses one latent for all clips + leaks a tracer)
-        def _fwd(x, seg, key):
-            variables = {"params": self.state.params}
-            if self.state.batch_stats:
-                variables["batch_stats"] = self.state.batch_stats
-            out = self.model.apply(variables, x, seg, train=False,
-                                   rngs={"noise": key})
-            # refined prediction when the model has a refine stage
-            # (refiner.py:974: pred_img = refine_imgs[-1]); coarse otherwise
-            if len(out) > 2 and isinstance(out[2], (list, tuple)):
-                return out[2][-1], out[1]
-            return out[0], out[1]
-
-        _fwd = jax.jit(_fwd)
+        # trace reuses one latent for all clips + leaks a tracer).  Shares
+        # _ensure_minitest_fwd: GAN models go through _GanEvalAdapter
+        # (self.model is None for InterGANNet) and refine/stage3/inpaint
+        # models contribute their FINAL prediction (refiner.py:974:
+        # pred_img = refine_imgs[-1]; _final_output).
+        self._ensure_minitest_fwd()
 
         def fwd(x, seg):
             self.rng, k = jax.random.split(self.rng)
-            return _fwd(x, seg, k)
+            return self._minitest_fwd(
+                self.state.params, self.state.batch_stats or {}, x, seg, k)
         i0, i2 = first_index, first_index + 2
         n_done = 0
         for clip in clip_dirs:

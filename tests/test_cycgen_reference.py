@@ -157,6 +157,26 @@ def test_cycgen_reference_extra(tmp_path, fix_init):
     np.testing.assert_array_equal(in_rgb, out_rgb)
 
 
+def test_final_output_unpacking():
+    """The rollout/save stage per composite family: stage3_rgbs[-1] for
+    InterStage3Net (the eval step's 'final' output), refine_rgbs[-1] for
+    InterRefineNet (InterTrainer.py:825), the inpainted composite for
+    ExtraInpaintNet (ExtraTrainer.py:719-721), coarse otherwise."""
+    rgb, seg = jnp.zeros((1, 4, 4, 3)), jnp.zeros((1, 4, 4, 20))
+    r1, r2, s1, s2 = (jnp.full((1, 4, 4, 3), v) for v in (1.0, 2.0, 3.0, 4.0))
+    mask, inp = jnp.zeros((1, 4, 4, 1)), jnp.full((1, 4, 4, 3), 9.0)
+    out = Runner._final_output((rgb, seg, [r1, r2], [s1, s2], [None]))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(s2))
+    out = Runner._final_output((rgb, seg, [r1, r2]))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(r2))
+    out = Runner._final_output((rgb, seg, mask, inp))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(inp))
+    out = Runner._final_output((rgb, seg))
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(rgb))
+    out = Runner._final_output((rgb, seg, mask))  # (rgb, seg, mask) extra
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(rgb))
+
+
 def test_mycycgen_consumes_cycgen_output(cycgen_tree):
     """mycycgen pointed at the cycgen-written tree fills the midpoint frame
     (VERDICT r1 #4: 'mycycgen can consume cycgen's output directly')."""
