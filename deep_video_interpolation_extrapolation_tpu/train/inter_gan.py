@@ -38,12 +38,17 @@ from deep_video_interpolation_extrapolation_tpu.models.features import (
 )
 from deep_video_interpolation_extrapolation_tpu.train import state as state_lib
 from deep_video_interpolation_extrapolation_tpu.train.common import (
+    apply_model,
     get_inter_inputs,
     normalize01,
     rgb_bundle,
     sum_losses,
     vgg_loss_from_frozen,
 )
+
+# one shared mutable-batch_stats apply (train/common.apply_model); the
+# alias keeps this module's call sites and legacy.py's import short
+_sub_apply = apply_model
 
 FAMILIES = (
     # (flag attr, params key, model attr, loss key stem, is_video, d_w attr, g_w attr)
@@ -56,19 +61,6 @@ FAMILIES = (
     ("video_det_disc", "video_det_disc_model", "video_det_disc_model", "video_det", True,
      "video_det_disc_disc_weight", "video_det_disc_gen_weight"),
 )
-
-
-def _sub_apply(module, params, bs, *args, rngs=None, train=True, **kw):
-    variables = {"params": params}
-    if bs:
-        variables["batch_stats"] = bs
-    mutable = ["batch_stats"] if (train and bs) else False
-    out = module.apply(variables, *args, train=train, mutable=mutable,
-                       rngs=rngs or {}, **kw)
-    if mutable:
-        out, mut = out
-        return out, mut.get("batch_stats", bs)
-    return out, bs
 
 
 def init_variables(cfg: Config, rng, batch) -> Dict:
@@ -120,13 +112,31 @@ def init_variables(cfg: Config, rng, batch) -> Dict:
 
 
 def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
+    import inspect
+
     coarse = registry.build_coarse(cfg)
     track_gen = registry.build_track_gen(cfg) if cfg.track_gen else None
     discs = {}
     for flag, pkey, _attr, stem, is_video, dw, gw in FAMILIES:
         if getattr(cfg, flag):
-            discs[pkey] = (registry.build_disc(cfg, getattr(cfg, _attr)),
-                           stem, is_video, getattr(cfg, dw), getattr(cfg, gw))
+            disc = registry.build_disc(cfg, getattr(cfg, _attr))
+            if stem == "video_det" and not getattr(
+                    disc, "supports_sync_neg", False):
+                # the sync_neg track-mismatch negative DEFINES this
+                # family; the reference passes sync_neg=True/gt_x
+                # unconditionally and TypeErrors on a plain video disc in
+                # this slot (InterGANNet.py:68-70) — fail loudly rather
+                # than silently training without the defining negative
+                raise ValueError(
+                    f"--video_det_disc_model {getattr(cfg, _attr)!r} has "
+                    "no sync_neg support; pick a Video*DetDiscriminator")
+            # only some det discs consume the GT frame (gt_x) — e.g.
+            # VideoGlobalMaskSNDetDiscriminator's box-swap base; the
+            # reference passes gt_x to every video_det call
+            wants_gt = ("gt_x"
+                        in inspect.signature(type(disc).__call__).parameters)
+            discs[pkey] = (disc, stem, is_video,
+                           getattr(cfg, dw), getattr(cfg, gw), wants_gt)
 
     track_module = (ResNet101Features(dtype=registry.compute_dtype(cfg))
                     if cfg.track_obj_loss else None)
@@ -143,6 +153,14 @@ def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
                    else (state.frozen or {}).get("resnet101"))
         if track_module is not None and rn_vars is not None:
             track_obj = make_track_obj_loss(track_module, rn_vars)
+        if cfg.track_obj_loss and (track_obj is None or bboxes is None):
+            # fail at trace time, not silently: the reference asserts the
+            # boxes exist (losses.py TrackObjLoss) — a configured
+            # objective must never quietly drop out of the loss dict
+            missing = ("ResNet101 features in state.frozen['resnet101'] "
+                       "(or track_obj_frozen)" if track_obj is None
+                       else "bbox tracks in the batch")
+            raise ValueError(f"--track_obj_loss requires {missing}")
         noise_key, sync_key = jax.random.split(rng)
 
         def loss_fn(params):
@@ -185,32 +203,38 @@ def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
             if cfg.vae:
                 ld["coarse_kld_loss"] = kld_loss(mu, logvar, cfg.kld_weight)
 
-            # discriminator families (InterGANTrainer.py:412-436)
-            for pkey, (disc, stem, is_video, d_w, g_w) in discs.items():
+            # discriminator families (InterGANTrainer.py:412-436).  Pass
+            # order and batch_stats chaining match the reference's four
+            # train-mode forwards: fake(detached) -> sync_neg -> real ->
+            # G-pass (InterGANNet.py:66-103) — the sync pass's BN/SN
+            # power-iteration updates COUNT there too.
+            for pkey, (disc, stem, is_video, d_w, g_w, wants_gt) in (
+                    discs.items()):
                 d_params = params[pkey]
                 frozen_d = jax.tree_util.tree_map(sg, d_params)
                 extra = (x, seg) if is_video else ()
+                gt_kw = {"gt_x": gt_x} if wants_gt else {}
                 d_bs = bs_of(pkey)
                 d_fake, d_bs = _sub_apply(
                     disc, d_params, d_bs, sg(coarse_rgb), sg(soft), *extra,
-                    bboxes=bboxes, train=True)
-                d_real, d_bs = _sub_apply(
-                    disc, d_params, d_bs, gt_x, gt_seg, *extra,
-                    bboxes=bboxes, train=True)
-                g_fake, d_bs = _sub_apply(
-                    disc, frozen_d, d_bs, coarse_rgb, soft, *extra,
-                    bboxes=bboxes, train=True)
-                if d_bs:
-                    bs_all[pkey] = d_bs
-                if stem == "video_det" and hasattr(disc, "supports_sync_neg"):
+                    bboxes=bboxes, train=True, **gt_kw)
+                if stem == "video_det":
                     # the 'sync_neg' rng randomizes the track-mismatch
                     # offset (detdisc._sync_neg_boxes); without it the
                     # negative was the same rotate-by-one every step
-                    d_sync, _ = _sub_apply(
+                    d_sync, d_bs = _sub_apply(
                         disc, d_params, d_bs, gt_x, gt_seg, *extra,
                         bboxes=bboxes, sync_neg=True, train=True,
-                        rngs={"sync_neg": sync_key})
+                        rngs={"sync_neg": sync_key}, **gt_kw)
                     d_fake = (d_fake + d_sync) / 2
+                d_real, d_bs = _sub_apply(
+                    disc, d_params, d_bs, gt_x, gt_seg, *extra,
+                    bboxes=bboxes, train=True, **gt_kw)
+                g_fake, d_bs = _sub_apply(
+                    disc, frozen_d, d_bs, coarse_rgb, soft, *extra,
+                    bboxes=bboxes, train=True, **gt_kw)
+                if d_bs:
+                    bs_all[pkey] = d_bs
                 ld[f"coarse_{stem}_loss"] = gan_scalar_loss(g_fake, True, g_w)
                 ld[f"disc_{stem}_real_loss"] = gan_scalar_loss(d_real, True, d_w)
                 ld[f"disc_{stem}_fake_loss"] = gan_scalar_loss(d_fake, False, d_w)

@@ -306,8 +306,8 @@ def make_refiner_gan_train_step(cfg: Config, model,
     from deep_video_interpolation_extrapolation_tpu.models.legacy_disc import (
         MultiscaleDiscriminator,
     )
-    from deep_video_interpolation_extrapolation_tpu.train.inter_gan import (
-        _sub_apply,
+    from deep_video_interpolation_extrapolation_tpu.train.common import (
+        apply_model as _sub_apply,
     )
     from deep_video_interpolation_extrapolation_tpu.models import registry
 
