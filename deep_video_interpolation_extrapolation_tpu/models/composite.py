@@ -114,8 +114,14 @@ class ExtraNet(nn.Module):
         self.coarse_model = registry.build_coarse(self.cfg)
 
     def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True):
-        return registry.apply_coarse(
-            self.cfg, self.coarse_model, rgb, seg, gt_rgb, gt_seg, train)[:2]
+        out = registry.apply_coarse(
+            self.cfg, self.coarse_model, rgb, seg, gt_rgb, gt_seg, train)
+        if train and len(out) == 4:
+            # VAE coarse in train mode: surface (mu, logvar) so the train
+            # step can KLD-regularize the posterior (extra.py); eval keeps
+            # the 2-tuple so rollout/product paths stay uniform
+            return out
+        return out[:2]
 
 
 class ExtraInpaintNet(nn.Module):

@@ -56,12 +56,37 @@ def _one_hot_from_logits(seg_logits: jnp.ndarray, n: int = 20) -> jnp.ndarray:
     return jnp.take(jnp.eye(n, dtype=seg_logits.dtype), ids, axis=0)
 
 
+def _check_mode(cfg: Config) -> None:
+    """Extrapolation is xs2xs-only: the reference's xx2x branch is dead
+    code (``seg`` is unbound under xx2x -> NameError at
+    ExtraTrainer.py:265/275), and a seg-free rollout here would quietly
+    condition every step on an untrained seg head's argmax — fail loudly
+    instead (the framework convention for silently-degenerate configs)."""
+    if cfg.mode != "xs2xs":
+        raise ValueError(
+            f"EXTRA supports --mode xs2xs only (got {cfg.mode!r}); the "
+            "reference's xx2x extrapolation path was never functional")
+
+
 def make_train_step(cfg: Config, model) -> Callable:
+    _check_mode(cfg)
+
     def train_step(state: state_lib.TrainState, batch, rng):
         batch = expand_segs(batch)
         vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
         if cfg.num_pred_step > 1:
             assert cfg.num_pred_once == 1, "multi-step rollout requires num_pred_once=1 (ExtraTrainer.py:253)"
+
+        def fwd(params, bs, x, seg, gt_x, gt_seg, key):
+            return apply_model(
+                model, params, bs, x, seg, gt_rgb=gt_x, gt_seg=gt_seg,
+                rngs={"noise": key}, train=True)
+        if cfg.remat:
+            # --remat: rematerialize each rollout forward in backprop —
+            # BPTT through num_pred_step windows multiplies activation
+            # memory, so this is the path that needs it most (same knob
+            # as inter.py)
+            fwd = jax.checkpoint(fwd)
 
         def loss_fn(params):
             loss_dict = OrderedDict()
@@ -81,27 +106,40 @@ def make_train_step(cfg: Config, model) -> Callable:
                     x = jnp.concatenate([batch["frame2"], x], axis=-1)
                     seg = jnp.concatenate([batch["seg2"], seg], axis=-1)
 
-                out, bs_state = apply_model(
-                    model, params, bs_state, x, seg, gt_rgb=gt_x, gt_seg=gt_seg,
-                    # fresh noise per rollout step: the reference runs a
-                    # separate forward per step, so a VAE coarse draws an
-                    # independent latent each time (ExtraTrainer.py:254-310)
-                    rngs={"noise": jax.random.fold_in(rng, ii)}, train=True)
+                # fresh noise per rollout step: the reference runs a
+                # separate forward per step, so a VAE coarse draws an
+                # independent latent each time (ExtraTrainer.py:254-310)
+                out, bs_state = fwd(params, bs_state, x, seg, gt_x, gt_seg,
+                                    jax.random.fold_in(rng, ii))
+                mu = logvar = None
                 if cfg.inpaint:
                     coarse_img, coarse_seg, inpaint_mask, inpaint_img = out
+                elif len(out) == 4:
+                    # VAE coarse (a framework extension: the reference's
+                    # EXTRA parser offers HRNet only) — the posterior must
+                    # be KLD-regularized or the encoder smuggles gt
+                    # through z and eval's prior draws are garbage
+                    coarse_img, coarse_seg, mu, logvar = out
+                    inpaint_img = inpaint_mask = None
                 else:
                     coarse_img, coarse_seg = out
                     inpaint_img = inpaint_mask = None
+
+                if mu is not None:
+                    from deep_video_interpolation_extrapolation_tpu.losses.vae import (
+                        kld_loss,
+                    )
+                    loss_dict[f"step_{ii + 1}_coarse_kld_loss"] = kld_loss(
+                        mu, logvar, cfg.kld_weight)
 
                 for j in range(cfg.num_pred_once):
                     prefix = f"step_{ii + 1}_frame_{j + 1}_coarse"
                     loss_dict.update(rgb_bundle(
                         cfg, coarse_img[..., 3 * j:3 * j + 3],
                         gt_x[..., 3 * j:3 * j + 3], vgg_fn, prefix))
-                    if cfg.mode == "xs2xs":
-                        loss_dict[prefix + "_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
-                            coarse_seg[..., 20 * j:20 * j + 20],
-                            jnp.argmax(gt_seg[..., 20 * j:20 * j + 20], axis=-1))
+                    loss_dict[prefix + "_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
+                        coarse_seg[..., 20 * j:20 * j + 20],
+                        jnp.argmax(gt_seg[..., 20 * j:20 * j + 20], axis=-1))
                     if cfg.inpaint:
                         iprefix = f"step_{ii + 1}_frame_{j + 1}_inpaint"
                         m = inpaint_mask[..., j:j + 1]
@@ -131,44 +169,80 @@ def make_train_step(cfg: Config, model) -> Callable:
 
 
 def make_eval_step(cfg: Config, model) -> Callable:
-    """Single-window val metrics (ExtraTrainer.validate semantics)."""
+    """Autoregressive val metrics (ExtraTrainer.validate,
+    ExtraTrainer.py:421-546): the FULL num_pred_step rollout with the same
+    prediction feedback as training, reporting per-(step, frame)
+    ``step_{i}_frame_{j}_coarse_{l1,psnr,ssim,iou,vgg}`` (0-indexed, the
+    reference's validate naming — its train keys are 1-indexed) plus
+    ``..._inpaint_*`` when inpainting.  Coarse metrics are always
+    reported; inpaint metrics are additional (ExtraTrainer.py:486-504) —
+    multi-step drift is the thing this runner exists to control, so a
+    single-window eval would optimize the wrong objective in checkpoint
+    sweeps."""
+    _check_mode(cfg)
+
     def eval_step(state: state_lib.TrainState, batch, rng):
         batch = expand_segs(batch)
-        x = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
-        seg = jnp.concatenate([batch["seg1"], batch["seg2"]], axis=-1)
-        if cfg.fix_init_frames:
-            x = jnp.concatenate([batch["frame2"], x], axis=-1)
-            seg = jnp.concatenate([batch["seg2"], seg], axis=-1)
-        gt_x = jnp.concatenate(
-            [batch[f"frame{i}"] for i in range(3, 3 + cfg.num_pred_once)], axis=-1)
-        gt_seg = jnp.concatenate(
-            [batch[f"seg{i}"] for i in range(3, 3 + cfg.num_pred_once)], axis=-1)
-        out, _ = apply_model(model, state.params, state.batch_stats, x, seg,
-                             rngs={"noise": rng}, train=False)
-        if cfg.inpaint:
-            coarse_img, coarse_seg, inpaint_mask, inpaint_img = out
-            final_img = inpaint_img
-        else:
-            coarse_img, coarse_seg = out
-            final_img = coarse_img
-
+        if cfg.num_pred_step > 1:
+            assert cfg.num_pred_once == 1, "ExtraTrainer.py:459"
         metrics = OrderedDict()
         cos = None
         if state.frozen and "vgg" in state.frozen:
             cos = make_vgg_cosine_score(
                 make_vgg_module(cfg), {"params": state.frozen["vgg"]})
-        for j in range(cfg.num_pred_once):
-            p = normalize01(jnp.clip(final_img[..., 3 * j:3 * j + 3], -1, 1))
-            g = normalize01(gt_x[..., 3 * j:3 * j + 3])
-            pre = f"frame_{j + 1}_"
+
+        def rgb_metrics(pre, img, gt):
+            p = normalize01(jnp.clip(img, -1, 1))
+            g = normalize01(gt)
             metrics[pre + "l1"] = l1_loss(p, g)
             metrics[pre + "psnr"] = psnr(p, g)
             metrics[pre + "ssim"] = ssim(p, g)
-            metrics[pre + "iou"] = iou_accuracy(
-                jnp.argmax(coarse_seg[..., 20 * j:20 * j + 20], axis=-1),
-                jnp.argmax(gt_seg[..., 20 * j:20 * j + 20], axis=-1))
             if cos is not None:
                 metrics[pre + "vgg"] = cos(p, g)
+
+        last_rgb = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
+        last_seg = jnp.concatenate([batch["seg1"], batch["seg2"]], axis=-1)
+        for ii in range(cfg.num_pred_step):
+            start = 3 + ii * cfg.num_pred_once
+            gt_x = jnp.concatenate(
+                [batch[f"frame{i}"] for i in range(start, start + cfg.num_pred_once)],
+                axis=-1)
+            gt_seg = jnp.concatenate(
+                [batch[f"seg{i}"] for i in range(start, start + cfg.num_pred_once)],
+                axis=-1)
+            x, seg = last_rgb, last_seg
+            if cfg.fix_init_frames:
+                x = jnp.concatenate([batch["frame2"], x], axis=-1)
+                seg = jnp.concatenate([batch["seg2"], seg], axis=-1)
+            out, _ = apply_model(
+                model, state.params, state.batch_stats, x, seg,
+                rngs={"noise": jax.random.fold_in(rng, ii)}, train=False)
+            if cfg.inpaint:
+                coarse_img, coarse_seg, inpaint_mask, inpaint_img = out
+            else:
+                coarse_img, coarse_seg = out
+                inpaint_img = None
+
+            for j in range(cfg.num_pred_once):
+                pre = f"step_{ii}_frame_{j}_"
+                rgb_metrics(pre + "coarse_",
+                            coarse_img[..., 3 * j:3 * j + 3],
+                            gt_x[..., 3 * j:3 * j + 3])
+                metrics[pre + "coarse_iou"] = iou_accuracy(
+                    jnp.argmax(coarse_seg[..., 20 * j:20 * j + 20], axis=-1),
+                    jnp.argmax(gt_seg[..., 20 * j:20 * j + 20], axis=-1))
+                if cfg.inpaint:
+                    rgb_metrics(pre + "inpaint_",
+                                inpaint_img[..., 3 * j:3 * j + 3],
+                                gt_x[..., 3 * j:3 * j + 3])
+
+            if cfg.num_pred_step == 1:
+                break
+            # same feedback as training (ExtraTrainer.py:536-540)
+            back_img = inpaint_img if cfg.inpaint else coarse_img
+            last_rgb = jnp.concatenate([x[..., -3:], back_img], axis=-1)
+            last_seg = jnp.concatenate(
+                [seg[..., -20:], _one_hot_from_logits(coarse_seg)], axis=-1)
         return metrics
 
     return eval_step

@@ -142,7 +142,62 @@ class TestExtraTrainStep:
         state = _init_state(cfg, model, batch)
         metrics = jax.jit(extra_lib.make_eval_step(cfg, model))(
             state, batch, jax.random.PRNGKey(0))
-        assert np.isfinite(float(metrics["frame_1_psnr"]))
+        # reference validate key naming (0-indexed, ExtraTrainer.py:486)
+        assert np.isfinite(float(metrics["step_0_frame_0_coarse_psnr"]))
+
+    def test_eval_step_rolls_out_all_steps(self):
+        """validate follows the FULL autoregressive rollout
+        (ExtraTrainer.py:459-540): multi-step drift must be measured, not
+        just 1-step-ahead quality."""
+        cfg = _cfg(runner="EXTRA", model="ExtraNet", syn_type="extra",
+                   num_pred_step=2)
+        model = TinyExtraNet(cfg)
+        batch = _batch(vid_len=4)
+        state = _init_state(cfg, model, batch)
+        metrics = jax.jit(extra_lib.make_eval_step(cfg, model))(
+            state, batch, jax.random.PRNGKey(0))
+        for k in ("step_0_frame_0_coarse_psnr", "step_1_frame_0_coarse_psnr",
+                  "step_0_frame_0_coarse_iou", "step_1_frame_0_coarse_iou"):
+            assert np.isfinite(float(metrics[k])), k
+
+    def test_extra_vae_coarse_trains_kld(self):
+        """VAEHRNet coarse in EXTRA (a framework extension — the
+        reference's EXTRA parser offers HRNet only) must KLD-regularize
+        the posterior; without it the encoder smuggles gt through z and
+        eval's prior draws are out-of-distribution."""
+        from deep_video_interpolation_extrapolation_tpu.models.composite import (
+            ExtraNet,
+        )
+
+        cfg = _cfg(runner="EXTRA", model="ExtraNet", syn_type="extra",
+                   coarse_model="VAEHRNet", num_pred_step=1)
+        model = ExtraNet(cfg)
+        batch = _batch()
+        x = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
+        seg = jnp.concatenate([batch["seg1"], batch["seg2"]], axis=-1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, seg, gt_rgb=batch["frame3"], gt_seg=batch["seg3"], train=True)
+        state = state_lib.create_train_state(cfg, variables, frozen={})
+        step = jax.jit(extra_lib.make_train_step(cfg, model))
+        _, losses = step(state, batch, jax.random.PRNGKey(2))
+        assert "step_1_coarse_kld_loss" in losses
+        assert np.isfinite(float(losses["step_1_coarse_kld_loss"]))
+        # eval stays on the uniform 2-tuple contract (prior z draw)
+        metrics = jax.jit(extra_lib.make_eval_step(cfg, model))(
+            state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["step_0_frame_0_coarse_psnr"]))
+
+    def test_extra_xx2x_fails_loudly(self):
+        """The reference's xx2x extrapolation is dead code (NameError at
+        ExtraTrainer.py:265); a seg-free rollout would silently condition
+        on an untrained seg head — must raise."""
+        import pytest
+
+        cfg = _cfg(runner="EXTRA", model="ExtraNet", syn_type="extra",
+                   mode="xx2x")
+        with pytest.raises(ValueError, match="xs2xs"):
+            extra_lib.make_train_step(cfg, TinyExtraNet(cfg))
 
     def test_inpaint_path(self):
         """ExtraInpaintNet: coarse + seg-derived occlusion mask + InpaintUnet
