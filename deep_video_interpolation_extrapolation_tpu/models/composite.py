@@ -33,8 +33,13 @@ class InterNet(nn.Module):
         self.coarse_model = registry.build_coarse(self.cfg, name=None)
 
     def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True):
-        return registry.apply_coarse(
-            self.cfg, self.coarse_model, rgb, seg, gt_rgb, gt_seg, train)[:2]
+        out = registry.apply_coarse(
+            self.cfg, self.coarse_model, rgb, seg, gt_rgb, gt_seg, train)
+        if train and len(out) == 4:
+            # VAE coarse in train mode: surface (mu, logvar) for the KLD
+            # term (train/inter.py); eval keeps the 2-tuple contract
+            return out
+        return out[:2]
 
 
 def _as_scale_list(refine_out):

@@ -102,6 +102,20 @@ def normalize01(img: jnp.ndarray) -> jnp.ndarray:
     return (img + 1.0) / 2.0
 
 
+def seg_id_targets(seg: jnp.ndarray) -> jnp.ndarray:
+    """Integer class-id CE/IoU targets from either seg contract.
+
+    Under DVIE_SEG_IDS the loader ships (B, H, W) uint8 ids — use them
+    directly instead of paying a full-res (B, H, W, 20) f32 one-hot
+    materialization (seg_oh) followed by an argmax straight back to ids
+    inside the hot jitted step.  Float one-hots (synthetic/legacy
+    contracts) argmax as before; values are identical either way.
+    """
+    if jnp.issubdtype(seg.dtype, jnp.integer):
+        return seg.astype(jnp.int32)
+    return jnp.argmax(seg, axis=-1)
+
+
 def apply_model(model, state_params, batch_stats, *args, rngs=None, train=True, **kw):
     """model.apply with optional mutable batch_stats collection."""
     variables = {"params": state_params}

@@ -42,6 +42,7 @@ from deep_video_interpolation_extrapolation_tpu.train.common import (
     make_vgg_module,
     normalize01,
     rgb_bundle,
+    seg_id_targets,
     sum_losses,
     vgg_loss_from_frozen,
 )
@@ -72,6 +73,10 @@ def make_train_step(cfg: Config, model) -> Callable:
     _check_mode(cfg)
 
     def train_step(state: state_lib.TrainState, batch, rng):
+        # CE targets come from the RAW seg entries (uint8 ids under
+        # DVIE_SEG_IDS — no one-hot->argmax round trip; XLA then DCEs the
+        # unused target one-hots for non-gt-consuming models)
+        raw_segs = {k: v for k, v in batch.items() if k.startswith("seg")}
         batch = expand_segs(batch)
         vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
         if cfg.num_pred_step > 1:
@@ -139,7 +144,7 @@ def make_train_step(cfg: Config, model) -> Callable:
                         gt_x[..., 3 * j:3 * j + 3], vgg_fn, prefix))
                     loss_dict[prefix + "_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
                         coarse_seg[..., 20 * j:20 * j + 20],
-                        jnp.argmax(gt_seg[..., 20 * j:20 * j + 20], axis=-1))
+                        seg_id_targets(raw_segs[f"seg{start + j}"]))
                     if cfg.inpaint:
                         iprefix = f"step_{ii + 1}_frame_{j + 1}_inpaint"
                         m = inpaint_mask[..., j:j + 1]
@@ -182,6 +187,7 @@ def make_eval_step(cfg: Config, model) -> Callable:
     _check_mode(cfg)
 
     def eval_step(state: state_lib.TrainState, batch, rng):
+        raw_segs = {k: v for k, v in batch.items() if k.startswith("seg")}
         batch = expand_segs(batch)
         if cfg.num_pred_step > 1:
             assert cfg.num_pred_once == 1, "ExtraTrainer.py:459"
@@ -230,7 +236,7 @@ def make_eval_step(cfg: Config, model) -> Callable:
                             gt_x[..., 3 * j:3 * j + 3])
                 metrics[pre + "coarse_iou"] = iou_accuracy(
                     jnp.argmax(coarse_seg[..., 20 * j:20 * j + 20], axis=-1),
-                    jnp.argmax(gt_seg[..., 20 * j:20 * j + 20], axis=-1))
+                    seg_id_targets(raw_segs[f"seg{start + j}"]))
                 if cfg.inpaint:
                     rgb_metrics(pre + "inpaint_",
                                 inpaint_img[..., 3 * j:3 * j + 3],

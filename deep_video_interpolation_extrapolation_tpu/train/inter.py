@@ -44,13 +44,25 @@ from deep_video_interpolation_extrapolation_tpu.train.common import (
     make_vgg_module,
     normalize01,
     rgb_bundle,
+    seg_id_targets,
     sum_losses,
     vgg_loss_from_frozen,
 )
 
 
-def _scale_str(n_scales: int, i: int) -> str:
-    return str(1 / (2 ** (n_scales - i - 1)))
+def _check_vae_combo(cfg: Config) -> None:
+    """VAEHRNet is supported under InterNet (gt-conditioned posterior +
+    KLD, the same wiring as inter_gan/extra) and under InterGANNet; the
+    refine/stage3 composites discard (mu, logvar) internally, so a VAE
+    coarse there would train with an unregularized posterior — the
+    reference never supported the combo either (its InterNet-family
+    heads call ``coarse_model(x)`` positionally and TypeError on
+    VAEHRNet's (input, gt_x, gt_seg) signature)."""
+    if (cfg.coarse_model == "VAEHRNet"
+            and cfg.model in ("InterRefineNet", "InterStage3Net")):
+        raise ValueError(
+            f"--coarse_model VAEHRNet is not supported under {cfg.model}; "
+            "use --model InterNet (plain VAE) or InterGANNet (--vae)")
 
 
 def make_train_step(cfg: Config, model, with_grads: bool = False) -> Callable:
@@ -58,12 +70,18 @@ def make_train_step(cfg: Config, model, with_grads: bool = False) -> Callable:
     used by the multichip dryrun's DDP-equivalence assertion (gradients,
     unlike Adamax's sign-like first step, compare tightly across device
     counts)."""
+    _check_vae_combo(cfg)
+
     def train_step(state: state_lib.TrainState, batch, rng):
         x, seg, gt_x, gt_seg = get_inter_inputs(batch)
         vgg_fn = vgg_loss_from_frozen(cfg, state.frozen)
 
-        def fwd(params, bs, x, seg, rng):
+        def fwd(params, bs, x, seg, gt_x, gt_seg, rng):
+            # gt passes through to the composites (all accept gt kwargs):
+            # a VAEHRNet coarse conditions its posterior on them in train
+            # mode (nets/HRNet.py:968-1061)
             return apply_model(model, params, bs, x, seg,
+                               gt_rgb=gt_x, gt_seg=gt_seg,
                                rngs={"noise": rng}, train=True)
         if cfg.remat:
             # --remat: rematerialize the forward in backprop, trading FLOPs
@@ -71,19 +89,30 @@ def make_train_step(cfg: Config, model, with_grads: bool = False) -> Callable:
             fwd = jax.checkpoint(fwd)
 
         def loss_fn(params):
-            out, new_bs = fwd(params, state.batch_stats, x, seg, rng)
+            out, new_bs = fwd(params, state.batch_stats, x, seg,
+                              gt_x, gt_seg, rng)
             loss_dict = OrderedDict()
+            mu = logvar = None
             if cfg.model == "InterNet":
-                coarse_img, coarse_seg = out
+                if len(out) == 4:   # VAEHRNet coarse (train mode)
+                    coarse_img, coarse_seg, mu, logvar = out
+                else:
+                    coarse_img, coarse_seg = out
             elif cfg.model == "InterRefineNet":
                 coarse_img, coarse_seg, refine_imgs = out
             else:
                 coarse_img, coarse_seg, refine_imgs, stage3_imgs, _ = out
 
             loss_dict.update(rgb_bundle(cfg, coarse_img, gt_x, vgg_fn, "coarse"))
-            if cfg.mode == "xs2xs":
+            if cfg.mode == "xs2xs" and coarse_seg is not None:
                 loss_dict["coarse_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
-                    coarse_seg, jnp.argmax(gt_seg, axis=-1))
+                    coarse_seg, seg_id_targets(batch["seg2"]))
+            if mu is not None:
+                from deep_video_interpolation_extrapolation_tpu.losses.vae import (
+                    kld_loss,
+                )
+                loss_dict["coarse_kld_loss"] = kld_loss(
+                    mu, logvar, cfg.kld_weight)
             if cfg.model in ("InterRefineNet", "InterStage3Net"):
                 # per-scale losses keyed by each stage's ACTUAL output
                 # count: SRNRefine emits n_scales scales, refineUnet one
@@ -91,13 +120,14 @@ def make_train_step(cfg: Config, model, with_grads: bool = False) -> Callable:
                 def per_scale(imgs, stem):
                     n_sc = len(imgs)
                     for i in range(n_sc):
+                        # str(scale) is also the reference's logging-key
+                        # suffix ('0.5', '1.0', ...)
                         scale = 1 / (2 ** (n_sc - i - 1))
-                        gt_s = interpolate_bilinear(
-                            gt_x, scale_factor=scale, align_corners=True
-                        ) if i != n_sc - 1 else gt_x
+                        gt_s = gt_x if scale == 1.0 else interpolate_bilinear(
+                            gt_x, scale_factor=scale, align_corners=True)
                         loss_dict.update(rgb_bundle(
                             cfg, imgs[i], gt_s, vgg_fn,
-                            stem + _scale_str(n_sc, i), refine=True))
+                            stem + str(scale), refine=True))
 
                 per_scale(refine_imgs, "refine_")
                 if cfg.model == "InterStage3Net":
@@ -141,8 +171,14 @@ def make_eval_step(cfg: Config, model) -> Callable:
         metrics["coarse_l1"] = l1_loss(p, g)
         metrics["coarse_psnr"] = psnr(p, g)
         metrics["coarse_ssim"] = ssim(p, g)
-        metrics["coarse_iou"] = iou_accuracy(
-            jnp.argmax(coarse_seg, axis=-1), jnp.argmax(gt_seg, axis=-1))
+        # IoU only when a real seg target exists: seg-free generators
+        # (B2SNet; MyFRRN/PSPNet in xx2x) return coarse_seg=None, and the
+        # xx2x triplet sets (ucf101/vimeo) ship all-zero dummy one-hots —
+        # an 'iou' against those measures argmax-to-class-0, not accuracy
+        if cfg.mode == "xs2xs" and coarse_seg is not None:
+            metrics["coarse_iou"] = iou_accuracy(
+                jnp.argmax(coarse_seg, axis=-1),
+                seg_id_targets(batch["seg2"]))
         if state.frozen and "vgg" in state.frozen:
             cos = make_vgg_cosine_score(
                 make_vgg_module(cfg), {"params": state.frozen["vgg"]})

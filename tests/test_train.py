@@ -199,6 +199,67 @@ class TestExtraTrainStep:
         with pytest.raises(ValueError, match="xs2xs"):
             extra_lib.make_train_step(cfg, TinyExtraNet(cfg))
 
+    def test_eval_step_seg_free_generator_skips_iou(self):
+        """Seg-free coarse models (B2SNet; xx2x mode) return seg=None /
+        dummy zero one-hots; eval must not crash on argmax(None) nor log
+        an argmax-to-class-0 'iou' (reference latent bug class, SURVEY
+        §2.7; legacy.py:415 has the same gate)."""
+        from deep_video_interpolation_extrapolation_tpu.models import registry
+
+        cfg = _cfg(mode="xx2x", coarse_model="B2SNet")
+        model = registry.build_model(cfg)
+        batch = _batch()
+        x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
+        seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
+        variables = model.init(jax.random.PRNGKey(0), x, seg, train=True)
+        state = state_lib.create_train_state(cfg, variables, frozen={})
+        # train: CE gated off, step runs
+        _, losses = jax.jit(inter_lib.make_train_step(cfg, model))(
+            state, batch, jax.random.PRNGKey(1))
+        assert "coarse_ce_loss" not in losses
+        assert np.isfinite(float(losses["loss_all"]))
+        # eval: no bogus iou, other metrics finite
+        metrics = jax.jit(inter_lib.make_eval_step(cfg, model))(
+            state, batch, jax.random.PRNGKey(2))
+        assert "coarse_iou" not in metrics
+        assert np.isfinite(float(metrics["coarse_psnr"]))
+
+    def test_internet_vae_coarse_trains_kld(self):
+        """VAEHRNet under plain InterNet: gt-conditioned posterior + KLD
+        (the reference's InterNet-family heads TypeError on VAEHRNet;
+        the supported wiring mirrors inter_gan/extra)."""
+        cfg = _cfg(coarse_model="VAEHRNet")
+        from deep_video_interpolation_extrapolation_tpu.models import registry
+
+        model = registry.build_model(cfg)
+        batch = _batch()
+        x = jnp.concatenate([batch["frame1"], batch["frame3"]], axis=-1)
+        seg = jnp.concatenate([batch["seg1"], batch["seg3"]], axis=-1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, seg, gt_rgb=batch["frame2"], gt_seg=batch["seg2"], train=True)
+        state = state_lib.create_train_state(cfg, variables, frozen={})
+        _, losses = jax.jit(inter_lib.make_train_step(cfg, model))(
+            state, batch, jax.random.PRNGKey(2))
+        assert "coarse_kld_loss" in losses
+        assert np.isfinite(float(losses["loss_all"]))
+        metrics = jax.jit(inter_lib.make_eval_step(cfg, model))(
+            state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["coarse_psnr"]))
+
+    def test_vae_under_refine_head_fails_loudly(self):
+        """VAEHRNet under InterRefineNet/InterStage3Net would silently
+        discard (mu, logvar) — must raise with a pointer to the supported
+        heads."""
+        import pytest
+
+        from deep_video_interpolation_extrapolation_tpu.models import registry
+
+        cfg = _cfg(model="InterRefineNet", coarse_model="VAEHRNet",
+                   refine=True, refine_model="SRNRefine")
+        with pytest.raises(ValueError, match="VAEHRNet"):
+            inter_lib.make_train_step(cfg, registry.build_model(cfg))
+
     def test_inpaint_path(self):
         """ExtraInpaintNet: coarse + seg-derived occlusion mask + InpaintUnet
         composite with masked inpaint losses (the reference's broken
