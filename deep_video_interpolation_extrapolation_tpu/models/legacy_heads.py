@@ -43,26 +43,36 @@ class GAN(nn.Module):
         else:
             self.netD = MotionDiscriminator(dtype=self.dtype)
 
-    def _d_input(self, rgb_pred, seg_soft, rgb_in):
+    def _d_input(self, rgb_pred, gt_seg, rgb_in):
         if self.net_d == "multi_scale":
             # 3 frames rgb concat (input pair + prediction)
             return jnp.concatenate([rgb_in[..., :6], rgb_pred], axis=-1)
         if self.net_d == "multi_scale_img":
             return rgb_pred
-        # multi_scale_img_seg / motion_img_seg
-        return jnp.concatenate([rgb_pred, seg_soft], axis=-1)
+        if self.net_d == "motion_img":
+            # (frame1, pred, frame2) temporal sandwich (nets/GAN.py:133-135)
+            return jnp.concatenate(
+                [rgb_in[..., :3], rgb_pred, rgb_in[..., 3:6]], axis=-1)
+        # multi_scale_img_seg: the GROUND-TRUTH seg rides along on BOTH
+        # the fake and real inputs (nets/GAN.py:120-126) — identical seg
+        # channels force D to discriminate on rgb realism, not on the
+        # predicted seg's softness
+        return jnp.concatenate([rgb_pred, gt_seg], axis=-1)
 
     def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True):
         fake_rgb, fake_seg = self.netG(rgb, seg, train=train)
         if not train:
             return fake_rgb, fake_seg
-        soft = jax.nn.softmax(fake_seg, axis=-1) if fake_seg is not None else None
         sg = jax.lax.stop_gradient
         pred_fake_d = self.netD(
-            self._d_input(sg(fake_rgb), sg(soft) if soft is not None else None,
-                          rgb), train=train)
+            self._d_input(sg(fake_rgb), gt_seg, rgb), train=train)
         pred_real_d = self.netD(self._d_input(gt_rgb, gt_seg, rgb), train=train)
-        pred_fake_g = self.netD(self._d_input(fake_rgb, soft, rgb), train=train)
+        # G adversarial pass: D params frozen by the TRAIN STEP (it
+        # re-applies with a stop_gradient'ed netD subtree — the functional
+        # analog of the reference's set_net_grad(netD, False),
+        # nets/GAN.py:101-104); this live-params output serves the D
+        # losses only
+        pred_fake_g = self.netD(self._d_input(fake_rgb, gt_seg, rgb), train=train)
         return fake_rgb, fake_seg, pred_fake_d, pred_real_d, pred_fake_g
 
 
@@ -110,7 +120,8 @@ class RefineGAN(nn.Module):
         self.discriminator = MultiscaleDiscriminator(
             num_d=2, use_sigmoid=True, get_interm_feat=False, dtype=self.dtype)
 
-    def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True):
+    def __call__(self, rgb, seg, gt_rgb=None, gt_seg=None, train: bool = True,
+                 with_disc: bool = True):
         out = self.coarse_model(rgb, seg, train=train)
         coarse_rgb, out_seg = out[0], out[1]
         # the reference feeds the refiner ONLY the detached coarse rgb
@@ -121,7 +132,10 @@ class RefineGAN(nn.Module):
         if not isinstance(refine_rgbs, (list, tuple)):
             refine_rgbs = [refine_rgbs]   # single-scale refiners (refineUnet)
         last = refine_rgbs[-1]
-        if not train:
+        if not train or not with_disc:
+            # with_disc=False: train-mode generator forward only (norm
+            # state updates, no D passes) — the train step applies the
+            # discriminator itself with explicit param freezing
             return coarse_rgb, refine_rgbs, out_seg
         sg = jax.lax.stop_gradient
         pred_fake_d = self.discriminator(

@@ -3,11 +3,12 @@ trainer.py — the pre-INTER/EXTRA training loops, unreachable from the
 reference's main.py but part of its runner inventory).
 
 - ``make_gan_train_step``: the GANer recipe (ganer.py:265-410) — MyFRRN
-  generator + multiscale patch discriminator, RGB bundle + CE + patch-map
-  GAN loss + discriminator-feature matching, one backward with
-  stop_gradient routing (the reference alternates optG/optD; a single
-  combined backward with fake-detach is gradient-equivalent here because G
-  and D subtrees receive disjoint loss terms).
+  generator + multiscale patch discriminator, RGB bundle + CE + weighted
+  patch-map GAN losses, one backward with stop_gradient routing: D's
+  losses see detached fakes, and the G adversarial term runs against a
+  stop_gradient'ed netD subtree (the reference's set_net_grad(netD,
+  False) around pred_fake_G, nets/GAN.py:101-104) — without the second
+  freeze, d(adv_loss)/dD leaks into the discriminator update.
 - ``make_vae_train_step``: the VAEer recipe (VAEer.py:169-240).  The
   reference's loss call is uncallable as committed (it passes 10 args to
   the 3-arg RGBLoss, SURVEY §2.7); this implements the evident intent:
@@ -42,6 +43,7 @@ from deep_video_interpolation_extrapolation_tpu.train.common import (
     seg_oh,
     normalize01,
     rgb_bundle,
+    seg_id_targets,
     sum_losses,
     vgg_loss_from_frozen,
 )
@@ -71,41 +73,82 @@ def init_gan_variables(cfg: Config, model, rng, batch) -> Dict:
     return variables
 
 
-def make_gan_train_step(cfg: Config, model) -> Callable:
+# GANOptions defaults the reference recipe actually trains with
+# (gan_options.py): --d_w 10 scales both D terms, --adv_w 1 the G
+# adversarial term (the author's cmd log shows 20 in places; these are
+# the parser defaults).  They are legacy-only flags, so they live here
+# rather than on Config.
+_GANER_D_WEIGHT = 10.0
+_GANER_ADV_WEIGHT = 1.0
+
+
+def make_gan_train_step(cfg: Config, model, frozen=None) -> Callable:
     """model: legacy_heads.GAN (returns fake_rgb, fake_seg, d_fake, d_real,
-    g_fake with internal stop_gradient routing).  Init variables with
-    ``init_gan_variables`` (applies the reference's construction-time
-    DCGAN weights_init, nets/GAN.py:32-33)."""
+    g_fake).  Init variables with ``init_gan_variables`` (applies the
+    reference's construction-time DCGAN weights_init, nets/GAN.py:32-33).
+
+    Optimizers match the reference defaults: Adamax-G at --lrG, SGD
+    momentum 0.9 for D at --lrD (gan_options.py:27-33, ganer.py:60-64;
+    both lrs default 0.001 and map onto coarse/frame_disc lr here).
+    ``frozen`` takes the VGG feature params for the RGB bundle's
+    perceptual term (RGBLoss always includes vgg_weight*VGG,
+    losses.py:223-241); None keeps the term zero.
+
+    Gradient isolation matches the reference exactly: D's losses see
+    detached fakes (inside the head), and the G adversarial term is
+    recomputed against a stop_gradient'ed netD subtree — the functional
+    analog of set_net_grad(netD, False) around pred_fake_G
+    (nets/GAN.py:101-104).  Without it, d(adv_loss)/dD pushes D(fake)->1
+    and corrupts the discriminator.
+    """
     tx_g = state_lib.make_tx("adamax", cfg.coarse_learning_rate)
-    tx_d = state_lib.make_tx("adam", cfg.frame_disc_learning_rate)
+    tx_d = optax.sgd(cfg.frame_disc_learning_rate, momentum=0.9)
 
     def train_step(params, opt_states, batch_stats, batch, rng):
         x, seg, gt_x, gt_seg = get_inter_inputs(batch)
-        vgg_fn = None  # legacy GANer ran without VGG in the GAN phase
+        vgg_fn = vgg_loss_from_frozen(cfg, frozen)
 
         def loss_fn(p):
-            variables = {"params": p}
-            mutable = False
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-                mutable = ["batch_stats"]
-            out = model.apply(variables, x, seg, gt_x, gt_seg, train=True,
-                              mutable=mutable)
-            (fake_rgb, fake_seg, d_fake, d_real, g_fake), new_vars = (
-                out if mutable else (out, {}))
+            sg = jax.tree_util.tree_map
+            p_dfrozen = dict(p)
+            p_dfrozen["netD"] = sg(jax.lax.stop_gradient, p["netD"])
+
+            def run(pp, keep_stats):
+                variables = {"params": pp}
+                mutable = False
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                    mutable = ["batch_stats"]
+                out = model.apply(variables, x, seg, gt_x, gt_seg,
+                                  train=True, mutable=mutable)
+                out, new_vars = out if mutable else (out, {})
+                return out, (new_vars.get("batch_stats", batch_stats)
+                             if keep_stats else None)
+
+            # live apply: D losses + BN/stat updates
+            (_, _, d_fake, d_real, _), new_bs = run(p, True)
+            # netD-frozen apply: generator losses (identical forward
+            # values — XLA CSEs the shared netG compute; its stat
+            # mutations are the same and are dropped)
+            (fake_rgb, fake_seg, _, _, g_fake), _ = run(p_dfrozen, False)
+
             ld = OrderedDict()
             ld.update(rgb_bundle(cfg, fake_rgb, gt_x, vgg_fn, "gen"))
             if fake_seg is not None:
                 ld["gen_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
-                    fake_seg, jnp.argmax(gt_seg, axis=-1))
-            # patch-map GAN losses (losses.py:302-336 semantics)
+                    fake_seg, seg_id_targets(batch["seg2"]))
+            # patch-map GAN losses with the reference's weights and keys
+            # (ganer.py:301-311)
             label_map = jnp.ones(())  # unused by the ratio-1 override
-            ld["disc_loss"] = gan_map_loss(d_fake, label_map, False) + \
-                gan_map_loss(d_real, label_map, True)
-            ld["gen_gan_loss"] = gan_map_loss(g_fake, label_map, True)
+            ld["adv_loss"] = _GANER_ADV_WEIGHT * gan_map_loss(
+                g_fake, label_map, True)
+            ld["d_real_loss"] = _GANER_D_WEIGHT * gan_map_loss(
+                d_real, label_map, True)
+            ld["d_fake_loss"] = _GANER_D_WEIGHT * gan_map_loss(
+                d_fake, label_map, False)
             total = sum_losses(ld)
             ld["loss_all"] = total
-            return total, (ld, new_vars.get("batch_stats", batch_stats))
+            return total, (ld, new_bs)
 
         (_, (ld, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -124,15 +167,19 @@ def init_gan_opt_states(cfg: Config, params) -> Dict:
     return {
         "netG": state_lib.make_tx("adamax", cfg.coarse_learning_rate).init(
             params["netG"]),
-        "netD": state_lib.make_tx("adam", cfg.frame_disc_learning_rate).init(
+        "netD": optax.sgd(cfg.frame_disc_learning_rate, momentum=0.9).init(
             params["netD"]),
     }
 
 
-def make_vae_train_step(cfg: Config, model) -> Callable:
+def make_vae_train_step(cfg: Config, model, frozen=None) -> Callable:
     """model: vae_video.VideoVAE.  Batch: rgb_seq (B,T+1,H,W,3) in [0,1],
-    seg_seq one-hot, fg/bg masks."""
+    seg_seq one-hot, fg/bg masks.  ``frozen`` supplies the VGG features
+    for the perceptual term (the reference VAE nets return
+    prediction/gt VGG features for exactly this; its own loss call is
+    uncallable as committed, SURVEY §2.7)."""
     tx = state_lib.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate)
+    vgg_fn = vgg_loss_from_frozen(cfg, frozen)
 
     def train_step(params, opt_state, batch_stats, batch, rng):
         rgb_seq = batch["frames"]
@@ -156,8 +203,18 @@ def make_vae_train_step(cfg: Config, model) -> Callable:
             ld["recon_warp_loss"] = cfg.l1_weight * l1_loss(output, gt)
             ld["recon_refine_loss"] = cfg.l1_weight * l1_loss(y_pred, gt)
             ld["kld_loss"] = kld_loss(mu, logvar, cfg.kld_weight)
-            # flow consistency: warping the prediction back with -flowback
-            # should reconstruct frame1 (utils/net_utils.py:124-130 intent)
+            if vgg_fn is not None:
+                # perceptual term over the refined sequence (the VAE nets
+                # return pred/gt VGG features for this; vgg_fn expects
+                # [-1,1] inputs, the VAE pipeline runs [0,1])
+                t_ = gt.shape[1]
+                v = sum(vgg_fn(y_pred[:, i] * 2.0 - 1.0,
+                               gt[:, i] * 2.0 - 1.0) for i in range(t_))
+                ld["vgg_loss"] = cfg.vgg_weight * v / t_
+            # flow consistency (net_utils.warp_back semantics,
+            # utils/net_utils.py:124-130): backward-warping each GT frame
+            # with -flowback, masked by mask_bw, should reconstruct
+            # frame1 — the gradient trains flowback/mask_bw (not y_pred)
             t = gt.shape[1]
             frame1 = rgb_seq[:, 0]
             cons = 0.0
@@ -178,7 +235,19 @@ def make_vae_train_step(cfg: Config, model) -> Callable:
     return train_step
 
 
-def make_refiner_train_step(cfg: Config, model) -> Callable:
+def _refiner_inputs(cfg: Config, batch):
+    """Conditioning/target pairing per syn type (the reference Refiner
+    handles both, refiner.py get_input_output): inter = (frame1, frame3)
+    -> frame2; extra = (frame1, frame2) -> frame3."""
+    if cfg.syn_type == "extra":
+        x = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
+        seg = jnp.concatenate([seg_oh(batch["seg1"]), seg_oh(batch["seg2"])],
+                              axis=-1)
+        return x, seg, batch["frame3"], seg_oh(batch["seg3"]), "seg3"
+    return (*get_inter_inputs(batch), "seg2")
+
+
+def make_refiner_train_step(cfg: Config, model, frozen=None) -> Callable:
     """Legacy Refiner recipe (runners/refiner.py:398-520): coarse RGB
     bundle (+CE in xs2xs) and a multiscale refine RGB bundle against
     bilinearly downsampled gt (align_corners=True, refiner_gan.py:245),
@@ -203,16 +272,17 @@ def make_refiner_train_step(cfg: Config, model) -> Callable:
     tx_c = state_lib.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate)
     tx_r = state_lib.make_tx(cfg.refine_optimizer, cfg.refine_learning_rate)
 
-    def refine_bundle(pred, gt, prefix):
+    def refine_bundle(pred, gt, prefix, vgg_fn):
         from deep_video_interpolation_extrapolation_tpu.losses.bundles import (
             rgb_loss_bundle,
         )
         return rgb_loss_bundle(
             pred, gt, cfg.refine_l1_weight, cfg.refine_gdl_weight,
-            cfg.refine_vgg_weight, cfg.refine_ssim_weight, None, prefix)
+            cfg.refine_vgg_weight, cfg.refine_ssim_weight, vgg_fn, prefix)
 
     def train_step(params, opt_states, batch_stats, batch, rng):
-        x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+        x, seg, gt_x, gt_seg, tgt_key = _refiner_inputs(cfg, batch)
+        vgg_fn = vgg_loss_from_frozen(cfg, frozen)
 
         def loss_fn(p):
             variables = {"params": p}
@@ -222,22 +292,28 @@ def make_refiner_train_step(cfg: Config, model) -> Callable:
                 mutable = ["batch_stats"]
             out = model.apply(variables, x, seg, gt_x, gt_seg, train=True,
                               mutable=mutable)
-            (coarse_rgb, out_seg, refine_rgbs), new_vars = (
-                out if mutable else (out, {}))
+            out, new_vars = out if mutable else (out, {})
+            if len(out) == 2:
+                # extrapolation: RefineNet returns (coarse, seg) only —
+                # the reference Refiner's extra branch trains the coarse
+                # alone (legacy_heads.py:97-98)
+                (coarse_rgb, out_seg), refine_rgbs = out, []
+            else:
+                coarse_rgb, out_seg, refine_rgbs = out
             if not isinstance(refine_rgbs, (list, tuple)):
                 refine_rgbs = [refine_rgbs]   # single-scale refiners
             ld = OrderedDict()
             if cfg.train_coarse:
-                ld.update(rgb_bundle(cfg, coarse_rgb, gt_x, None, "coarse"))
+                ld.update(rgb_bundle(cfg, coarse_rgb, gt_x, vgg_fn, "coarse"))
                 if cfg.mode == "xs2xs":
                     ld["coarse_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
-                        out_seg, jnp.argmax(gt_seg, axis=-1))
-            if cfg.train_refine:
+                        out_seg, seg_id_targets(batch[tgt_key]))
+            if cfg.train_refine and refine_rgbs:
                 for i in range(cfg.n_scales):
                     gt_i = gt_x if i == 0 else interpolate_bilinear(
                         gt_x, scale_factor=0.5 ** i, align_corners=True)
                     ld.update(refine_bundle(
-                        refine_rgbs[-i - 1], gt_i, f"refine_{i}"))
+                        refine_rgbs[-i - 1], gt_i, f"refine_{i}", vgg_fn))
             total = sum_losses(ld)
             ld["loss_all"] = total
             return total, (ld, new_vars.get("batch_stats", batch_stats))
@@ -273,7 +349,8 @@ def init_refiner_opt_states(cfg: Config, params) -> Dict:
 
 
 def make_refiner_gan_train_step(cfg: Config, model,
-                                adv_warmup_steps: int = 1000) -> Callable:
+                                adv_warmup_steps: int = 1000,
+                                frozen=None) -> Callable:
     """Legacy RefinerGAN recipe (runners/refiner_gan.py:218-300):
 
     G: [coarse bundle + CE unless locked] + multiscale refine bundle +
@@ -282,7 +359,12 @@ def make_refiner_gan_train_step(cfg: Config, model,
        adversarial terms before that);
     D: ``refine_d_weight * (BCE(D(real), 1) + BCE(D(fake), 0))`` on the
        same schedule, optimized with SGD momentum 0.9
-       (refiner_gan.py:74), while G uses Adamax.
+       (refiner_gan.py:74), while G uses Adamax.  Both optimizers run at
+       the reference's GLOBAL --lr (refiner_gan.py:67,74), mapped to
+       coarse_learning_rate here (same 0.001 default).  The reference's
+       ``refine_adv_weight``/``refine_d_weight`` flags exist in NO
+       options file (the runner would AttributeError — dead code, SURVEY
+       §2.7); frame_disc_{gen,disc}_weight stand in for them.
 
     Single combined backward, matching the reference's alternating
     backwards exactly because of the stop_gradient routing (the same
@@ -315,40 +397,50 @@ def make_refiner_gan_train_step(cfg: Config, model,
         num_d=2, use_sigmoid=True, get_interm_feat=False,
         dtype=registry.compute_dtype(cfg))
     tx_g = state_lib.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate)
-    tx_d = optax.sgd(cfg.refine_learning_rate, momentum=0.9)
+    tx_d = optax.sgd(cfg.coarse_learning_rate, momentum=0.9)
 
     def train_step(params, opt_states, batch_stats, batch, rng,
                    global_step=None):
         x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+        vgg_fn = vgg_loss_from_frozen(cfg, frozen)
         adv_on = (jnp.asarray(global_step) > adv_warmup_steps).astype(
             jnp.float32) if global_step is not None else jnp.asarray(1.0)
 
         def loss_fn(p):
             sg = jax.lax.stop_gradient
-            # generator forward (the composite's no-D path; its submodels
-            # carry no norm state, so the train flag is inert here)
-            coarse_rgb, refine_rgbs, out_seg = model.apply(
-                {"params": p}, x, seg, gt_x, gt_seg, train=False)
+            # generator forward: train-mode no-D path (with_disc=False) so
+            # BN-bearing submodels (UNet/SepUNet coarse) update their
+            # running stats like the reference's train() forward
+            g_vars = {"params": p}
+            g_mutable = False
+            if batch_stats:
+                g_vars["batch_stats"] = batch_stats
+                g_mutable = ["batch_stats"]
+            g_out = model.apply(g_vars, x, seg, gt_x, gt_seg, train=True,
+                                with_disc=False, mutable=g_mutable)
+            (coarse_rgb, refine_rgbs, out_seg), g_new = (
+                g_out if g_mutable else (g_out, {}))
+            g_bs = g_new.get("batch_stats", batch_stats or {})
             if not isinstance(refine_rgbs, (list, tuple)):
                 refine_rgbs = [refine_rgbs]   # single-scale refiners
             last = refine_rgbs[-1]
 
             ld = OrderedDict()
             if cfg.train_coarse:
-                ld.update(rgb_bundle(cfg, coarse_rgb, gt_x, None, "coarse"))
+                ld.update(rgb_bundle(cfg, coarse_rgb, gt_x, vgg_fn, "coarse"))
                 if cfg.mode == "xs2xs":
                     ld["coarse_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
-                        out_seg, jnp.argmax(gt_seg, axis=-1))
+                        out_seg, seg_id_targets(batch["seg2"]))
             for i in range(cfg.n_scales):
                 gt_i = gt_x if i == 0 else interpolate_bilinear(
                     gt_x, scale_factor=0.5 ** i, align_corners=True)
                 ld.update(rgb_loss_bundle(
                     refine_rgbs[-i - 1], gt_i, cfg.refine_l1_weight,
                     cfg.refine_gdl_weight, cfg.refine_vgg_weight,
-                    cfg.refine_ssim_weight, None, f"refine_{i}"))
+                    cfg.refine_ssim_weight, vgg_fn, f"refine_{i}"))
 
             d_params = p["discriminator"]
-            bs_d = (batch_stats or {}).get("discriminator", {})
+            bs_d = (g_bs or {}).get("discriminator", {})
             d_fake, bs_new = _sub_apply(
                 disc, d_params, bs_d,
                 jnp.concatenate([sg(last), gt_seg], axis=-1))
@@ -366,7 +458,7 @@ def make_refiner_gan_train_step(cfg: Config, model,
                 bce_gan_loss(d_fake, False)
             total = sum_losses(ld)
             ld["loss_all"] = total
-            new_bs = dict(batch_stats or {})
+            new_bs = dict(g_bs or {})   # generator norm updates too
             if bs_new:
                 new_bs["discriminator"] = bs_new
             return total, (ld, new_bs)
@@ -389,18 +481,23 @@ def init_refiner_gan_opt_states(cfg: Config, params) -> Dict:
     return {
         "coarse_model": tx_g.init(params["coarse_model"]),
         "refine_model": tx_g.init(params["refine_model"]),
+        # reference optD: SGD momentum 0.9 at the GLOBAL --lr
+        # (refiner_gan.py:74)
         "discriminator": optax.sgd(
-            cfg.refine_learning_rate, momentum=0.9
+            cfg.coarse_learning_rate, momentum=0.9
         ).init(params["discriminator"]),
     }
 
 
-def make_simple_train_step(cfg: Config, model) -> Callable:
-    """Plain single-generator step (legacy Trainer, trainer.py:254-320)."""
+def make_simple_train_step(cfg: Config, model, frozen=None) -> Callable:
+    """Plain single-generator step (legacy Trainer, trainer.py:254-320).
+    ``frozen`` supplies VGG params for the bundle's perceptual term
+    (RGBLoss always includes it, losses.py:223-241)."""
     tx = state_lib.make_tx(cfg.coarse_optimizer, cfg.coarse_learning_rate)
 
     def train_step(params, opt_state, batch_stats, batch, rng):
         x, seg, gt_x, gt_seg = get_inter_inputs(batch)
+        vgg_fn = vgg_loss_from_frozen(cfg, frozen)
 
         def loss_fn(p):
             variables = {"params": p}
@@ -411,10 +508,10 @@ def make_simple_train_step(cfg: Config, model) -> Callable:
             out = model.apply(variables, x, seg, train=True, mutable=mutable)
             (rgb, seg_logits), new_vars = (out if mutable else (out, {}))
             ld = OrderedDict()
-            ld.update(rgb_bundle(cfg, rgb, gt_x, None, "gen"))
+            ld.update(rgb_bundle(cfg, rgb, gt_x, vgg_fn, "gen"))
             if seg_logits is not None and cfg.mode == "xs2xs":
                 ld["gen_ce_loss"] = cfg.ce_weight * cross_entropy_loss(
-                    seg_logits, jnp.argmax(gt_seg, axis=-1))
+                    seg_logits, seg_id_targets(batch["seg2"]))
             total = sum_losses(ld)
             ld["loss_all"] = total
             return total, (ld, new_vars.get("batch_stats", batch_stats))

@@ -46,7 +46,9 @@ def test_legacy_gan_step():
     step = jax.jit(L.make_gan_train_step(cfg, model))
     new_params, new_opts, new_bs, losses = step(
         params, opts, bs, batch, jax.random.PRNGKey(1))
-    for k in ("gen_l1_loss", "gen_ce_loss", "disc_loss", "gen_gan_loss"):
+    # reference GANer loss keys (ganer.py:301-311)
+    for k in ("gen_l1_loss", "gen_ce_loss", "adv_loss", "d_real_loss",
+              "d_fake_loss"):
         assert np.isfinite(float(losses[k])), k
     # both nets moved
     for net in ("netG", "netD"):
@@ -54,6 +56,34 @@ def test_legacy_gan_step():
         b = jax.tree_util.tree_leaves(new_params[net])
         assert any(not np.array_equal(np.asarray(x_), np.asarray(y_))
                    for x_, y_ in zip(a, b)), net
+
+
+def test_legacy_gan_adv_term_never_reaches_netD(monkeypatch):
+    """The G adversarial pass runs against a stop_gradient'ed netD
+    subtree (the reference's set_net_grad(netD, False) around
+    pred_fake_G, nets/GAN.py:101-104): scaling the adv term must leave
+    the netD update bit-identical while netG's changes."""
+    cfg = _cfg()
+    model = GAN(net_d="multi_scale_img_seg", num_d=2, dtype=jnp.float32)
+    batch = _inter_batch()
+    variables = L.init_gan_variables(cfg, model, KEY, batch)
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+    opts = L.init_gan_opt_states(cfg, params)
+
+    def run():
+        step = jax.jit(L.make_gan_train_step(cfg, model))
+        return step(params, opts, bs, batch, jax.random.PRNGKey(1))[0]
+
+    p1 = run()
+    monkeypatch.setattr(L, "_GANER_ADV_WEIGHT", 1000.0)
+    p2 = run()
+    for x_, y_ in zip(jax.tree_util.tree_leaves(p1["netD"]),
+                      jax.tree_util.tree_leaves(p2["netD"])):
+        np.testing.assert_array_equal(np.asarray(x_), np.asarray(y_))
+    assert any(not np.array_equal(np.asarray(x_), np.asarray(y_))
+               for x_, y_ in zip(jax.tree_util.tree_leaves(p1["netG"]),
+                                 jax.tree_util.tree_leaves(p2["netG"])))
 
 
 def test_legacy_vae_step():
