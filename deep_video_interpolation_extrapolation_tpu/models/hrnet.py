@@ -461,8 +461,10 @@ class _HRBackbone(nn.Module):
             # dense-packed 2x-FLOP wall; the A+E kernel runs it at 1.33x
             # with the bias+lrelu fused.  conv1 stays dense: its K =
             # f*14 pads to 128 either way and A+E would pay that pad in
-            # TWO dots.  Opt-in pending TPU A/B (DVIE_AE_STEM=1).
-            stem_ae = os.environ.get("DVIE_AE_STEM", "0") == "1"
+            # TWO dots.  DEFAULT ON since the r2 TPU A/B: 35.85/35.83 fps
+            # vs 35.64/35.67 base at 8x512x1024 bf16 (docs/ABLOG_r2.md);
+            # DVIE_AE_STEM=0 disables.
+            stem_ae = os.environ.get("DVIE_AE_STEM", "1") != "0"
             if stem_ae:
                 from deep_video_interpolation_extrapolation_tpu.ops.pallas_ae_conv import (
                     conv3x3_packed_ae_hwnc,
@@ -527,8 +529,8 @@ class _HRBackbone(nn.Module):
         # default); stage3's fuse-out0 then emits packed, transition3's
         # same-channel branch-0 passthrough carries it, stage4's branch
         # chain consumes it, and the final out0 unpacks for the heads.
-        # Opt-in pending a TPU A/B on the highres_large config
-        # (DVIE_HL4_PACK=1).
+        # Stays opt-in (DVIE_HL4_PACK=1): the r2 TPU A/B measured 18.57
+        # fps vs 19.21 with the fused heads alone (docs/ABLOG_r2.md).
         hl4 = (self.highres_large and f0
                and os.environ.get("DVIE_HL4_PACK", "0") == "1")
         xs = HighResolutionModule(
@@ -621,13 +623,19 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
     from deep_video_interpolation_extrapolation_tpu.core.hw import (
         pallas_enabled,
     )
-    # 4-part (--highres_large) fused heads: opt-in pending a TPU A/B on
-    # that config (DVIE_FUSED_HEAD4=1; ops/pallas_upshead.ups_head_taps4)
+    # 4-part (--highres_large) fused heads: DEFAULT ON (DVIE_FUSED_HEAD4=0
+    # disables; ops/pallas_upshead.ups_head_taps4).  This is a correctness
+    # gate, not just perf: the unfused tail materializes the 960-ch concat
+    # + the 960-ch head h1 + a remat copy (3 x ~8 GB at 8x512x1024 bf16)
+    # and hard-OOMs the 16 GB v5e HBM (round-3 repro: "Used 23.63G of
+    # 15.75G hbm", copy.359/fusion.1888); the fused kernel streams the
+    # pyramid through VMEM and only the 9*(Cr+Cs)-lane tap tensor lands
+    # in HBM.  Measured 19.21 fps at that config (r2 AB12).
     use_fused4 = (pallas_enabled() and highres_large
                   and not spatial_sharded
                   and rgb_head.out_dim * 9 <= 128
                   and seg_head.out_dim * 9 <= 256
-                  and os.environ.get("DVIE_FUSED_HEAD4", "0") == "1")
+                  and os.environ.get("DVIE_FUSED_HEAD4", "1") != "0")
     if use_fused4:
         parts = run_backbone(True)
         from deep_video_interpolation_extrapolation_tpu.ops import pallas_upshead

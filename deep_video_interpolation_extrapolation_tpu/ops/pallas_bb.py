@@ -20,9 +20,10 @@ clamped out-of-image rows are zero-masked in-kernel (SAME padding), and
 the h1 rows that fall outside the image are zeroed before conv2 (its own
 SAME padding).
 
-Ships default-OFF (DVIE_BB_FUSED=1 to enable) until A/B'd on TPU against
-the per-conv A+E form.  Differentiable via custom_vjp against the XLA
-packed reference.
+Ships default-OFF (DVIE_BB_FUSED=1 to enable): the r2 TPU A/B measured
+35.27 fps vs 35.64 base at 8x512x1024 bf16 — LOSES to the per-conv A+E
+form (docs/ABLOG_r2.md).  Kept as a tested perf-ledger entry.
+Differentiable via custom_vjp against the XLA packed reference.
 """
 
 from __future__ import annotations

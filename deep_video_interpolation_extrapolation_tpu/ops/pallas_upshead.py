@@ -357,8 +357,11 @@ def fits(p0, p1, p2) -> bool:
 #   garbage block is revisited and overwritten by i=1 before copy-back).
 # - tap-block extraction inside the finalize uses LANE ROLLS by co*t on
 #   the (th, W, 9*co) accumulator plus one final [..., :co] store slice
-#   (sub-128 lane ops — legality probed on TPU by _probe_laneroll.py;
-#   this path ships opt-in via DVIE_UPSHEAD_FOLD=1 until then).
+#   (sub-128 lane ops — legality probed on TPU by _probe_laneroll.py:
+#   f32 rolls compile+run correctly at every probed shape/shift, the
+#   identical bf16 rolls hit a Mosaic compile bug, HTTP 500).  The r2
+#   TPU A/B measured the f32 fold at 32.93 fps vs 35.67 base — LOSES
+#   badly; stays opt-in via DVIE_UPSHEAD_FOLD=1 (docs/ABLOG_r2.md).
 #
 # Differentiable via custom_vjp against the XLA reference (shifted add
 # f32-accumulated, matching the kernel's arithmetic).
@@ -622,8 +625,10 @@ def fits_fold(p0, p1, p2) -> bool:
 # the x2/x4 tables), columns emit f8-packed cells (one source column
 # feeds TWO output cells) unpacked by a lane-block reshape (target lane
 # 512, the Mosaic-supported (a, b, f*C) -> (a, f*b, C) form).
-# Opt-in: DVIE_FUSED_HEAD4=1 (pending a TPU A/B on the highres_large
-# config; the 3-part kernel's was 104 -> ~60 ms).
+# DEFAULT ON (DVIE_FUSED_HEAD4=0 disables) since the r2/r3 TPU runs: a
+# CORRECTNESS gate for --highres_large, where the unfused 960-ch tail
+# OOMs the 16 GB HBM at 8x512x1024 bf16 (23.63G: concat + h1 + remat
+# copy, ~8 GB each) while this kernel runs 19.21 fps (docs/ABLOG_r2.md).
 # ---------------------------------------------------------------------------
 
 
