@@ -66,14 +66,16 @@ def build_fixture(root: str, n_vids=2, clip_len=30, src=150, interval=3,
                 # static textured background + a square moving linearly:
                 # real temporal structure, so interpolation loss can drop
                 bg = rng.randint(0, 255, (src, src, 3), dtype=np.uint8)
-                tex = rng.randint(0, 255, (24, 24, 3), dtype=np.uint8)
+                sq = max(4, src // 6)
+                tex = rng.randint(0, 255, (sq, sq, 3), dtype=np.uint8)
+                span = src - sq - 1
                 for t in range(clip_len):
                     img = bg.copy()
                     seg = np.full((src, src), 2, np.uint8)  # building
-                    y = 10 + (t * 3) % (src - 34)
-                    x = 20 + (t * 2) % (src - 34)
-                    img[y:y + 24, x:x + 24] = tex
-                    seg[y:y + 24, x:x + 24] = 13  # car
+                    y = (t * 3) % span
+                    x = (t * 2) % span
+                    img[y:y + sq, x:x + sq] = tex
+                    seg[y:y + sq, x:x + sq] = 13  # car
                     stem = f"{scene}_{vid:06d}_{t:06d}"
                     Image.fromarray(img).save(
                         os.path.join(d_img, stem + "_leftImg8bit.png"))

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--gan", action="store_true")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint the backbone (full-res configs "
+                         "need it to fit HBM)")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split(","))
 
@@ -94,7 +97,7 @@ def main():
         cfg = Config(
             runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
             train_coarse=True, coarse_model="HRNet",
-            compute_dtype=args.dtype,
+            compute_dtype=args.dtype, remat=args.remat,
             input_h=h, input_w=w, batch_size=b, dataset="synthetic",
         )
         model = registry.build_model(cfg)
@@ -144,7 +147,8 @@ def main():
         "unit": "steps/sec/chip",
         "frames_per_sec": round(sps * b, 2),
         "config": f"bs{b}_{h}x{w}_{args.dtype}_vgg={not args.no_vgg}"
-                  + ("_gan" if args.gan else ""),
+                  + ("_gan" if args.gan else "")
+                  + ("_remat" if args.remat else ""),
     }))
 
 
