@@ -311,7 +311,30 @@ def _hwnc_kernel(x_ref, a_ref, e_ref, res_ref, *rest, th, n_blocks,
     out_ref[...] = out
 
 
-def _pick_th(h: int) -> int:
+# Batch-aware VMEM gates for the HWNC kernel.  Blocks carry the WHOLE
+# batch (B is an inner dim of the HWNC layout, not gridded), so VMEM
+# scales linearly with B.  Calibrated against the r3 batch-sweep crash
+# at the transition1 call site (x = (512, 512, B, 512) f2):
+#   - scratch (2, th+2, wp, b, fc): the SHIPPING bs8/th=4 envelope is
+#     exactly 48 MiB; bs16/th=4 doubles it to 96 MiB and the program
+#     dies with "Used 191.86M of 128.00M vmem".  Budget: 48 MiB
+#     inclusive, so the flagship route is untouched and larger batches
+#     shrink th (bs16 fc=512 -> th=1, also exactly 48 MiB).
+#   - the crash's 79.86M of register-allocator spill slots scale with
+#     the dot working set th*wp*b*fc; the shipping envelope is 16 MiB
+#     of bf16 operand rows.  Cap that too (inclusive).
+#   - B is the second-minor dim of the (8,128)-tiled layout: Mosaic
+#     rejects memref slices whose B extent isn't 8-aligned ("Slice
+#     shape along dimension 2 must be aligned to tiling (8), but is
+#     12", bs12 sweep log) -> require b % 8 == 0.
+# Anything over budget returns 0 -> the caller's XLA fallback, so any
+# batch size RUNS.
+_SCR_BUDGET = 48 * 2**20
+_DOT_BUDGET = 16 * 2**20
+
+
+def _pick_th(h: int, wp: int = 0, b: int = 0, fc: int = 0,
+             esz: int = 2) -> int:
     import os
 
     order = (4, 2, 8, 1)
@@ -319,21 +342,29 @@ def _pick_th(h: int) -> int:
     if env:
         order = (int(env),) + order
     for th in order:
-        if th and h % th == 0 and h // th >= 2:
-            return th
+        if not (th and h % th == 0 and h // th >= 2):
+            continue
+        if wp:
+            if 2 * (th + 2) * wp * b * fc * esz > _SCR_BUDGET:
+                continue
+            if th * wp * b * fc * esz > _DOT_BUDGET:
+                continue
+        return th
     return 0
 
 
 def hwnc_fits(x: jnp.ndarray, f: int = 2) -> bool:
     """x logical (H, Wp, B, fC)."""
     h, wp, b, fc = x.shape
-    return (f == 2 and fc % 128 == 0 and _pick_th(h) > 0
-            and (wp * b * _pick_th(h)) % 8 == 0)
+    esz = jnp.dtype(x.dtype).itemsize
+    th = _pick_th(h, wp, b, fc, esz)
+    return (f == 2 and fc % 128 == 0 and b % 8 == 0 and th > 0
+            and (wp * b * th) % 8 == 0)
 
 
 def _impl_hwnc(x, k, res, relu, f=2, interpret=False, bias=None):
     h, wp, b, fc = x.shape
-    th = _pick_th(h)
+    th = _pick_th(h, wp, b, fc, jnp.dtype(x.dtype).itemsize)
     n_blocks = h // th
     dt = x.dtype
     fo = f * k.shape[3]

@@ -383,7 +383,20 @@ def _block_kernel_dma(h1_ref, x_ref, k2_ref, k3_ref, kres_ref, k1n_ref,
                    out_refs, has_res=has_res, has_next=has_next, ae=ae)
 
 
-def _pick_th(h: int) -> int:
+# VMEM budget for the fused block's resident slabs.  Blocks carry the
+# WHOLE batch (B is an inner HWNC dim), so double-buffered scratch +
+# x/y/h1n tiles scale linearly with B.  The validated envelope is
+# 8x512x1024 f2 layer1 (th=2: scratch 8.4 MiB + tiles ~37.7 MiB under
+# the 116 MiB vmem_limit); bs16 doubles everything past the limit (the
+# sibling ae_conv kernel measured "191.86M of 128.00M" in the r3 batch
+# sweep).  64 MiB admits the validated shapes (and th-shrunk larger
+# batches) and rejects the rest -> XLA fallback instead of a crash.
+_BLOCK_BUDGET = 64 * 2**20
+
+
+def _pick_th(h: int, w2: int = 0, b: int = 0, fp: int = 0,
+             fcin: int = 512, fo: int = 512, fpn: int = 128,
+             esz: int = 2) -> int:
     import os
 
     order = (2, 4, 8, 1)
@@ -391,15 +404,27 @@ def _pick_th(h: int) -> int:
     if env:
         order = (int(env),) + order
     for th in order:
-        if th and h % th == 0 and h // th >= 2:
-            return th
+        if not (th and h % th == 0 and h // th >= 2):
+            continue
+        if w2:
+            scr = 2 * (th + 2) * w2 * b * fp * esz
+            tiles = 2 * th * w2 * b * (fcin + fo + fpn) * esz
+            if scr + tiles > _BLOCK_BUDGET:
+                continue
+        return th
     return 0
 
 
-def block_fits(h1: jnp.ndarray) -> bool:
+def block_fits(h1: jnp.ndarray, fcin: int = 512, fo: int = 512,
+               fpn: int = 128) -> bool:
     h, w2, b, fp = h1.shape
-    return (_pick_th(h) > 0 and fp % 128 == 0 and fp <= 512
-            and (w2 * b * _pick_th(h)) % 8 == 0)
+    esz = jnp.dtype(h1.dtype).itemsize
+    th = _pick_th(h, w2, b, fp, fcin, fo, fpn, esz)
+    # b % 8: B is the second-minor dim of the (8,128)-tiled HWNC layout;
+    # Mosaic rejects memref slices with a non-8-aligned B extent (the
+    # bs12 sweep failure in the sibling ae_conv kernel).
+    return (th > 0 and fp % 128 == 0 and fp <= 512 and b % 8 == 0
+            and (w2 * b * th) % 8 == 0)
 
 
 def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False, ae=False):
@@ -414,9 +439,11 @@ def _block_impl(h1, x, k2p, k3p, kresp, k1np, interpret=False, ae=False):
     call site gates on DVIE_BLOCK_AE; A/B on TPU @8x512x1024 bf16:
     33.93 off vs 34.07 fps on)."""
     h, w2, b, fp = h1.shape
-    th = _pick_th(h)
-    n_blocks = h // th
     fo = k3p.shape[1]
+    th = _pick_th(h, w2, b, fp, x.shape[-1], fo,
+                  k1np.shape[1] if k1np is not None else 0,
+                  jnp.dtype(h1.dtype).itemsize)
+    n_blocks = h // th
     dt = h1.dtype
     has_res = kresp is not None
     has_next = k1np is not None

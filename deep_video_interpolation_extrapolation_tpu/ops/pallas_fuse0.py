@@ -327,7 +327,17 @@ def _kernel_hwnc(y0_ref, t1_ref, t2_ref, out_ref, *,
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def _pick_th_hwnc(h: int) -> int:
+# HWNC blocks carry the WHOLE batch (B is an inner layout dim); bound
+# the per-program tile bytes so large batches fall back to the NHWC /
+# XLA compositions instead of blowing VMEM (same failure class as the
+# r3 batch-sweep ae_conv OOM).  Resident per program: y0 tile + out tile
+# (th*w2*b*c2 each) + t1/t2 windows.  Validated envelope (stage2 fuse0
+# @8x512x1024 f2, th=4): ~12.6 MiB.
+_F0_BUDGET = 32 * 2**20
+
+
+def _pick_th_hwnc(h: int, w2: int = 0, b: int = 0, c2: int = 0,
+                  esz: int = 2) -> int:
     import os
 
     order = (4, 8, 16)
@@ -335,15 +345,27 @@ def _pick_th_hwnc(h: int) -> int:
     if env:
         order = (int(env),) + order
     for th in order:
-        if th % 4 == 0 and h % th == 0 and h // th >= 2:
-            return th
+        if not (th % 4 == 0 and h % th == 0 and h // th >= 2):
+            continue
+        if w2:
+            c = c2 // 2
+            est = (2 * th * c2 + (th // 2 + 2) * c + (th // 4 + 2) * c
+                   ) * w2 * b * esz
+            if est > _F0_BUDGET:
+                continue
+        return th
     return 0
 
 
 def fits_hwnc(y0: jnp.ndarray, t1: jnp.ndarray) -> bool:
     """y0 logical (H, W2, B, 2C) f2; t1 (H/2, W/2, B, C)."""
     h, w2, b, c2 = y0.shape
-    return (c2 % 128 == 0 and _pick_th_hwnc(h) > 0
+    esz = jnp.dtype(y0.dtype).itemsize
+    # b % 8: B is the second-minor dim of the (8,128)-tiled HWNC layout;
+    # Mosaic rejects memref slices with a non-8-aligned B extent (the
+    # bs12 sweep failure in the sibling ae_conv kernel).
+    return (c2 % 128 == 0 and b % 8 == 0
+            and _pick_th_hwnc(h, w2, b, c2, esz) > 0
             and t1.shape[:3] == (h // 2, w2, b)
             and t1.shape[3] == c2 // 2)
 
@@ -351,7 +373,7 @@ def fits_hwnc(y0: jnp.ndarray, t1: jnp.ndarray) -> bool:
 def _impl_hwnc(y0, t1, t2, interpret=False):
     h, w2, b, c2 = y0.shape
     c = c2 // 2
-    th = _pick_th_hwnc(h)
+    th = _pick_th_hwnc(h, w2, b, c2, jnp.dtype(y0.dtype).itemsize)
     n_blocks = h // th
     dt = y0.dtype
     has_t2 = t2 is not None
