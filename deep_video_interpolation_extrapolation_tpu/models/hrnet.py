@@ -398,6 +398,17 @@ def _layer1_boundary_chain(x: jnp.ndarray, f: int, dtype,
     return x
 
 
+def _pack_factor(x: jnp.ndarray) -> int:
+    """Width-pack factor for the full-res stem/layer1 chain (0 = unpacked).
+
+    The 64-ch convs are lane-starved at <128 channels on the MXU; packing
+    doubles every operand's lane width for exact math (ops/packed_conv.py).
+    Deterministic in the input shape so ``__call__`` and the rematted
+    ``_stem_layer1`` segment can both derive it independently."""
+    return 2 if (jax.default_backend() == "tpu" and x.shape[2] % 2 == 0
+                 and x.shape[2] >= 256) else 0
+
+
 class _HRBackbone(nn.Module):
     """Stem + layer1 + stage2/3(/4) + upsample-concat (shared by HRNet/VAEHRNet).
 
@@ -412,15 +423,26 @@ class _HRBackbone(nn.Module):
     # assume full (unsharded) spatial extents, so they must be bypassed
     # (the XLA compositions partition correctly under SPMD)
     spatial_sharded: bool = False
+    # --remat: checkpoint at STAGE granularity (stem+layer1, each
+    # transition, each stage module).  The backward then holds one
+    # segment's interior plus the segment-boundary tensors, instead of
+    # every full-res activation at once — a whole-forward jax.checkpoint
+    # (the runners' old behavior) recomputes the forward but still peaks
+    # at the same live set while differentiating it, which saved nothing
+    # at 512x1024 (37.3G -> 37.5G peak; docs/TRAINBENCH_r3.md).
+    remat: bool = False
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def _stem_layer1(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Stem conv1/conv2 + layer1 Bottlenecks (nets/HRNet.py:367-375).
+
+        Factored out of ``__call__`` so ``remat=True`` can checkpoint the
+        full-resolution chain — the single largest activation region — as
+        its own segment.  Must be called from the compact ``__call__``
+        (submodules attach to the ambient scope); param names unchanged.
+        """
         # The full-resolution stem + layer1 chain runs width-packed on TPU
-        # (one relayout in, one out): the 64-ch convs are lane-starved at
-        # <128 channels, and packing doubles every operand's lane width for
-        # exact math (ops/packed_conv.py).  Measured ~1.5x on this chain.
-        f = 2 if (jax.default_backend() == "tpu" and x.shape[2] % 2 == 0
-                  and x.shape[2] >= 256) else 0
+        # (one relayout in, one out).  Measured ~1.5x on this chain.
+        f = _pack_factor(x)
         import os
         from deep_video_interpolation_extrapolation_tpu.core.hw import (
             pallas_enabled as _pe,
@@ -428,7 +450,6 @@ class _HRBackbone(nn.Module):
         if f:
             from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
                 pack_w,
-                unpack_w,
             )
             x = pack_w(x, f)
         # layer1 boundary fusion (conv3 1x1 + residual + lrelu + next
@@ -496,15 +517,35 @@ class _HRBackbone(nn.Module):
                     x = Bottleneck(64, dtype=self.dtype, packed_io=f,
                                    spatial_sharded=self.spatial_sharded,
                                    name=f"layer1_{i}")(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        f = _pack_factor(x)
+        import os
+        from deep_video_interpolation_extrapolation_tpu.core.hw import (
+            pallas_enabled as _pe,
+        )
+        if self.remat:
+            # prevent_cse=False: everything here runs under jit (never raw
+            # pmap), where CSE across the checkpoint boundary is safe and
+            # the flag only costs optimization barriers
+            x = nn.remat(_HRBackbone._stem_layer1,
+                         prevent_cse=False)(self, x)
+            HRM = nn.remat(HighResolutionModule, prevent_cse=False)
+            TR = nn.remat(_Transition, prevent_cse=False)
+        else:
+            x = self._stem_layer1(x)
+            HRM, TR = HighResolutionModule, _Transition
 
         # transition1 consumes the packed layer1 output directly: trans_0's
         # 3x3 stays packed (feeding stage2's branch-0 chain with no
         # relayout); trans_1_0's stride-2 conv consumes packed, emits
         # unpacked — the packed region ends per-branch, never via a bulk
         # unpack of the 256-ch full-res tensor.
-        xs = _Transition((256,), STAGE2_CFG["num_channels"], dtype=self.dtype,
-                         packed_in=f, spatial_sharded=self.spatial_sharded,
-                         name="transition1")([x])
+        xs = TR((256,), STAGE2_CFG["num_channels"], dtype=self.dtype,
+                packed_in=f, spatial_sharded=self.spatial_sharded,
+                name="transition1")([x])
         # keep_packed_out0 (branch-0 packed through the fuse sums and
         # across stage boundaries) was A/B'd at 312 vs 287 ms/step at
         # 8x512x1024 bf16 and stays OFF: the ~3.1 ms/stage unpack retiles
@@ -517,13 +558,13 @@ class _HRBackbone(nn.Module):
         # out-0 comes out unpacked for the head stage
         f0 = (bool(f) and _pe() and not self.spatial_sharded and not kp
               and os.environ.get("DVIE_FUSE0", "1") != "0")
-        xs = HighResolutionModule(
+        xs = HRM(
             dtype=self.dtype, name="stage2", branch0_packed=bool(f),
             keep_packed_out0=kp, fuse0_packed_out=f0,
             spatial_sharded=self.spatial_sharded, **STAGE2_CFG)(xs)
 
-        xs = _Transition(STAGE2_CFG["num_channels"], STAGE3_CFG["num_channels"],
-                         dtype=self.dtype, name="transition2")(xs)
+        xs = TR(STAGE2_CFG["num_channels"], STAGE3_CFG["num_channels"],
+                dtype=self.dtype, name="transition2")(xs)
         # --highres_large: keep branch0 packed THROUGH stage4 (the same
         # 1.5x packing + A+E machinery the 3-branch chain runs by
         # default); stage3's fuse-out0 then emits packed, transition3's
@@ -533,15 +574,15 @@ class _HRBackbone(nn.Module):
         # fps vs 19.21 with the fused heads alone (docs/ABLOG_r2.md).
         hl4 = (self.highres_large and f0
                and os.environ.get("DVIE_HL4_PACK", "0") == "1")
-        xs = HighResolutionModule(
+        xs = HRM(
             dtype=self.dtype, name="stage3", branch0_packed=kp or f0,
             keep_packed_out0=kp, fuse0_packed_out=hl4,
             spatial_sharded=self.spatial_sharded, **STAGE3_CFG)(xs)
 
         if self.highres_large:
-            xs = _Transition(STAGE3_CFG["num_channels"], STAGE4_CFG["num_channels"],
-                             dtype=self.dtype, name="transition3")(xs)
-            xs = HighResolutionModule(
+            xs = TR(STAGE3_CFG["num_channels"], STAGE4_CFG["num_channels"],
+                    dtype=self.dtype, name="transition3")(xs)
+            xs = HRM(
                 dtype=self.dtype, name="stage4", branch0_packed=kp or hl4,
                 keep_packed_out0=kp or hl4,
                 spatial_sharded=self.spatial_sharded, **STAGE4_CFG)(xs)
@@ -772,6 +813,8 @@ class HRNet(nn.Module):
     # set when activations are sharded over a spatial mesh axis — bypasses
     # the Pallas fast paths, whose halo/tile logic assumes full extents
     spatial_sharded: bool = False
+    # stage-granular activation rematerialization (--remat; see _HRBackbone)
+    remat: bool = False
 
     def setup(self):
         # setup-defined so composites can reuse it directly
@@ -792,6 +835,7 @@ class HRNet(nn.Module):
             lambda parts: _HRBackbone(self.highres_large, dtype=self.dtype,
                                       return_parts=parts,
                                       spatial_sharded=self.spatial_sharded,
+                                      remat=self.remat,
                                       name="backbone")(x),
             rgb_dim, seg_dim, self.highres_large, self.dtype,
             spatial_sharded=self.spatial_sharded)
@@ -872,6 +916,8 @@ class VAEHRNet(nn.Module):
     highres_large: bool = False
     dtype: Optional[Dtype] = None
     spatial_sharded: bool = False
+    # stage-granular activation rematerialization (--remat; see _HRBackbone)
+    remat: bool = False
 
     def setup(self):
         self.seg_encoder = SegEncoder(dtype=self.dtype)
@@ -911,6 +957,7 @@ class VAEHRNet(nn.Module):
             lambda parts: _HRBackbone(self.highres_large, dtype=self.dtype,
                                       return_parts=parts,
                                       spatial_sharded=self.spatial_sharded,
+                                      remat=self.remat,
                                       name="backbone")(x),
             rgb_dim, seg_dim, self.highres_large, self.dtype,
             spatial_sharded=self.spatial_sharded)

@@ -30,6 +30,10 @@ def build_coarse(cfg: Config, name: Optional[str] = "coarse_model"):
             # spatial mesh the XLA compositions (which SPMD-partition
             # correctly) are used instead
             spatial_sharded=cfg.num_spatial_shards > 1,
+            # --remat checkpoints the backbone at stage granularity inside
+            # the model (models/hrnet.py _HRBackbone.remat); see
+            # remat_internal() for the runner-side contract
+            remat=cfg.remat,
         )
         cls = {"HRNet": HRNet, "VAEHRNet": VAEHRNet}[cfg.coarse_model]
         return cls(**kw)
@@ -45,6 +49,24 @@ def build_coarse(cfg: Config, name: Optional[str] = "coarse_model"):
         "SepUNet": lambda: SepUNet(dtype=d),
     }
     return legacy[cfg.coarse_model]()
+
+
+def remat_internal(cfg: Config) -> bool:
+    """True when the built model already rematerializes itself at stage
+    granularity under ``cfg.remat`` (models/hrnet.py ``_HRBackbone.remat``),
+    so the runner must NOT wrap the forward in a whole-region
+    ``jax.checkpoint`` on top: the nested outer region would recompute the
+    forward a third time in backprop for zero extra memory benefit.
+
+    Conservative: only the plain composites whose compute is dominated by
+    the HRNet-family coarse qualify; anything with an un-rematted tail
+    (refine/stage3 nets, InpaintUnet) keeps the runner's outer checkpoint
+    (nesting is correct, just costs one more forward).
+    """
+    return (bool(cfg.remat)
+            and cfg.coarse_model in ("HRNet", "VAEHRNet")
+            and cfg.model in ("InterNet", "ExtraNet")
+            and not getattr(cfg, "inpaint", False))
 
 
 def apply_coarse(cfg: Config, model, rgb, seg, gt_rgb=None, gt_seg=None,

@@ -90,8 +90,16 @@ def make_train_step(cfg: Config, model) -> Callable:
             # --remat: rematerialize each rollout forward in backprop —
             # BPTT through num_pred_step windows multiplies activation
             # memory, so this is the path that needs it most (same knob
-            # as inter.py)
-            fwd = jax.checkpoint(fwd)
+            # as inter.py).  When the coarse model remats itself at stage
+            # granularity (models/hrnet.py _HRBackbone.remat) the
+            # per-rollout outer checkpoint is redundant: each stage
+            # segment already bounds the live set, and its boundaries are
+            # exactly what the rollout would re-save.
+            from deep_video_interpolation_extrapolation_tpu.models.registry import (
+                remat_internal,
+            )
+            if not remat_internal(cfg):
+                fwd = jax.checkpoint(fwd)
 
         def loss_fn(params):
             loss_dict = OrderedDict()

@@ -84,9 +84,19 @@ def make_train_step(cfg: Config, model, with_grads: bool = False) -> Callable:
                                gt_rgb=gt_x, gt_seg=gt_seg,
                                rngs={"noise": rng}, train=True)
         if cfg.remat:
-            # --remat: rematerialize the forward in backprop, trading FLOPs
-            # for activation memory (full-res 1024x512 configs)
-            fwd = jax.checkpoint(fwd)
+            # --remat: rematerialize activations in backprop, trading FLOPs
+            # for memory (full-res 1024x512 configs).  HRNet-family coarse
+            # models checkpoint themselves at STAGE granularity
+            # (models/hrnet.py _HRBackbone.remat) — that segmentation is
+            # what actually lowers the backward peak; the whole-forward
+            # checkpoint here is kept only for models without internal
+            # segments (a nested outer region would add a third forward
+            # recompute for no memory benefit).
+            from deep_video_interpolation_extrapolation_tpu.models.registry import (
+                remat_internal,
+            )
+            if not remat_internal(cfg):
+                fwd = jax.checkpoint(fwd)
 
         def loss_fn(params):
             out, new_bs = fwd(params, state.batch_stats, x, seg,
