@@ -48,13 +48,24 @@ def vgg_loss_from_frozen(cfg: Config, frozen) -> Optional[Callable]:
 
 
 def rgb_bundle(cfg: Config, pred, gt, vgg_fn, prefix: str, refine: bool = False):
-    """RGBLoss with global or refine_* weights (losses.py:228-241)."""
+    """RGBLoss with global or refine_* weights (losses.py:228-241).
+
+    Under ``--remat`` the whole bundle (L1 + GDL + SSIM + the 5-scale
+    VGG19 tower) is one ``jax.checkpoint`` region: every output is a
+    scalar, so the only saved residuals are (pred, gt) — the VGG/SSIM
+    conv intermediates (the largest un-rematted region at full res once
+    the backbone segments itself, models/hrnet.py) are recomputed in
+    backprop instead of held across it.
+    """
     if refine:
         w = (cfg.refine_l1_weight, cfg.refine_gdl_weight,
              cfg.refine_vgg_weight, cfg.refine_ssim_weight)
     else:
         w = (cfg.l1_weight, cfg.gdl_weight, cfg.vgg_weight, cfg.ssim_weight)
-    return rgb_loss_bundle(pred, gt, *w, vgg_fn=vgg_fn, prefix=prefix)
+    fn = lambda p, g: rgb_loss_bundle(p, g, *w, vgg_fn=vgg_fn, prefix=prefix)
+    if getattr(cfg, "remat", False):
+        fn = jax.checkpoint(fn, prevent_cse=False)
+    return fn(pred, gt)
 
 
 def sum_losses(loss_dict: "OrderedDict[str, jnp.ndarray]") -> jnp.ndarray:

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the backbone (full-res configs "
                          "need it to fit HBM)")
+    ap.add_argument("--mem-only", action="store_true",
+                    help="compile the train loop and print the compiler's "
+                         "HBM memory analysis instead of running it "
+                         "(OOM forensics — the relay's runtime "
+                         "RESOURCE_EXHAUSTED carries no breakdown)")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split(","))
 
@@ -129,6 +134,26 @@ def main():
         (st, last), _ = jax.lax.scan(
             body, (state, jnp.float32(0)), jnp.arange(args.iters))
         return st, last
+
+    if args.mem_only:
+        compiled = loop.lower(state, batch, jax.random.PRNGKey(7)).compile()
+        ma = compiled.memory_analysis()
+        gib = 1024 ** 3
+        print(json.dumps({
+            "metric": "train_loop_hbm_gib",
+            "config": f"bs{b}_{h}x{w}_{args.dtype}"
+                      + ("_gan" if args.gan else "")
+                      + ("_remat" if args.remat else ""),
+            "temp_gib": round(ma.temp_size_in_bytes / gib, 3),
+            "argument_gib": round(ma.argument_size_in_bytes / gib, 3),
+            "output_gib": round(ma.output_size_in_bytes / gib, 3),
+            "alias_gib": round(ma.alias_size_in_bytes / gib, 3),
+            "total_gib": round((ma.temp_size_in_bytes
+                                + ma.argument_size_in_bytes
+                                + ma.output_size_in_bytes
+                                - ma.alias_size_in_bytes) / gib, 3),
+        }))
+        return
 
     st, last = loop(state, batch, jax.random.PRNGKey(7))
     float(last)  # fence through the relay
