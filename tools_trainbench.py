@@ -88,7 +88,7 @@ def main():
             frame_det_disc_model="FrameSNDetDiscriminator",
             video_det_disc=True, train_video_det_disc=True,
             video_det_disc_model="VideoLSSNDetDiscriminator",
-            num_track_per_img=10,
+            num_track_per_img=10, remat=args.remat,
         )
         batch = {k: jnp.asarray(v)
                  for k, v in synthetic_batch(
