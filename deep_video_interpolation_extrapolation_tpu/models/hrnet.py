@@ -927,19 +927,39 @@ class VAEHRNet(nn.Module):
         b, h, w, _ = rgb.shape
         zh, zw = h // 16, w // 16
         latent_dim = 16 * zh * zw
+        # The reference's flat latent (nets/HRNet.py:762-763: one Dense per
+        # moment over the flattened encoder map) hard-codes 128x128 inputs,
+        # where mu_fc is 1024x1024.  The fc param count scales with the
+        # SQUARE of the pixel count: at 512x1024 each moment head would be
+        # a 32768x32768 matrix (2 GiB bf16, +8 GiB Adamax state apiece) —
+        # architecturally meaningless and unfittable.  Above the cap the
+        # latent goes SPATIAL: per-position 1x1 conv heads on the encoder
+        # map, z keeps the same (zh, zw, 16) shape the decoder consumes.
+        # At the reference's own resolutions (latent <= 4096, i.e. up to
+        # 256x256) the Dense path is used and matches the reference
+        # exactly (test_vaehrnet_parity).
+        conv_latent = latent_dim > 4096
 
         mu = logvar = None
         if train:
             assert gt_rgb is not None and gt_seg is not None
             vae_in = jnp.concatenate([rgb, seg, gt_rgb, gt_seg], axis=-1)
             e = _VAEEncoder(dtype=self.dtype, name="vae_encoder")(vae_in, train=train)
-            e = e.reshape(b, -1)
-            mu = nn.Dense(latent_dim, dtype=self.dtype, name="mu_fc")(e)
-            logvar = nn.Dense(latent_dim, dtype=self.dtype, name="logvar_fc")(e)
+            if conv_latent:
+                mu = Conv(16, 1, padding=0, dtype=self.dtype,
+                          name="mu_conv")(e)
+                logvar = Conv(16, 1, padding=0, dtype=self.dtype,
+                              name="logvar_conv")(e)
+            else:
+                e = e.reshape(b, -1)
+                mu = nn.Dense(latent_dim, dtype=self.dtype, name="mu_fc")(e)
+                logvar = nn.Dense(latent_dim, dtype=self.dtype,
+                                  name="logvar_fc")(e)
             eps = jax.random.normal(self.make_rng("noise"), mu.shape, dtype=mu.dtype)
             z = mu + eps * jnp.exp(0.5 * logvar)
         else:
-            z = jax.random.normal(self.make_rng("noise"), (b, latent_dim), dtype=rgb.dtype)
+            z_shape = (b, zh, zw, 16) if conv_latent else (b, latent_dim)
+            z = jax.random.normal(self.make_rng("noise"), z_shape, dtype=rgb.dtype)
 
         z = z.reshape(b, zh, zw, 16)
         vae_feature = _VAEDecoder(dtype=self.dtype, name="vae_decoder")(z, train=train)

@@ -210,29 +210,44 @@ def make_train_step(cfg: Config, track_obj_frozen=None) -> Callable:
             # power-iteration updates COUNT there too.
             for pkey, (disc, stem, is_video, d_w, g_w, wants_gt) in (
                     discs.items()):
-                d_params = params[pkey]
-                frozen_d = jax.tree_util.tree_map(sg, d_params)
                 extra = (x, seg) if is_video else ()
                 gt_kw = {"gt_x": gt_x} if wants_gt else {}
-                d_bs = bs_of(pkey)
-                d_fake, d_bs = _sub_apply(
-                    disc, d_params, d_bs, sg(coarse_rgb), sg(soft), *extra,
-                    bboxes=bboxes, train=True, **gt_kw)
-                if stem == "video_det":
-                    # the 'sync_neg' rng randomizes the track-mismatch
-                    # offset (detdisc._sync_neg_boxes); without it the
-                    # negative was the same rotate-by-one every step
-                    d_sync, d_bs = _sub_apply(
+
+                def family(d_params, d_bs, coarse_rgb, soft, gt_x, gt_seg,
+                           extra, disc=disc, stem=stem, gt_kw=gt_kw):
+                    frozen_d = jax.tree_util.tree_map(sg, d_params)
+                    d_fake, d_bs = _sub_apply(
+                        disc, d_params, d_bs, sg(coarse_rgb), sg(soft),
+                        *extra, bboxes=bboxes, train=True, **gt_kw)
+                    if stem == "video_det":
+                        # the 'sync_neg' rng randomizes the track-mismatch
+                        # offset (detdisc._sync_neg_boxes); without it the
+                        # negative was the same rotate-by-one every step
+                        d_sync, d_bs = _sub_apply(
+                            disc, d_params, d_bs, gt_x, gt_seg, *extra,
+                            bboxes=bboxes, sync_neg=True, train=True,
+                            rngs={"sync_neg": sync_key}, **gt_kw)
+                        d_fake = (d_fake + d_sync) / 2
+                    d_real, d_bs = _sub_apply(
                         disc, d_params, d_bs, gt_x, gt_seg, *extra,
-                        bboxes=bboxes, sync_neg=True, train=True,
-                        rngs={"sync_neg": sync_key}, **gt_kw)
-                    d_fake = (d_fake + d_sync) / 2
-                d_real, d_bs = _sub_apply(
-                    disc, d_params, d_bs, gt_x, gt_seg, *extra,
-                    bboxes=bboxes, train=True, **gt_kw)
-                g_fake, d_bs = _sub_apply(
-                    disc, frozen_d, d_bs, coarse_rgb, soft, *extra,
-                    bboxes=bboxes, train=True, **gt_kw)
+                        bboxes=bboxes, train=True, **gt_kw)
+                    g_fake, d_bs = _sub_apply(
+                        disc, frozen_d, d_bs, coarse_rgb, soft, *extra,
+                        bboxes=bboxes, train=True, **gt_kw)
+                    return d_fake, d_real, g_fake, d_bs
+
+                if cfg.remat:
+                    # --remat: each family's 3-4 full-res forwards are one
+                    # checkpoint region — its outputs are loss logits plus
+                    # the (tiny) SN/BN stats, so the only residuals across
+                    # the combined backward are the region's inputs; the
+                    # disc conv activations rematerialize in backprop
+                    # (same knob as the generator's stage remat,
+                    # models/hrnet.py)
+                    family = jax.checkpoint(family, prevent_cse=False)
+                d_fake, d_real, g_fake, d_bs = family(
+                    params[pkey], bs_of(pkey), coarse_rgb, soft, gt_x,
+                    gt_seg, extra)
                 if d_bs:
                     bs_all[pkey] = d_bs
                 ld[f"coarse_{stem}_loss"] = gan_scalar_loss(g_fake, True, g_w)

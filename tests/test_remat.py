@@ -133,3 +133,69 @@ def test_inter_train_step_remat_loss_matches():
                                      if k.endswith("_loss")))
     np.testing.assert_allclose(losses["base"], losses["remat"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gan_train_step_remat_loss_matches():
+    """The per-family discriminator checkpoint region (train/inter_gan.py)
+    must be a pure scheduling knob: identical losses and parameter updates
+    with and without --remat."""
+    from deep_video_interpolation_extrapolation_tpu.train import (
+        inter_gan as gan_lib,
+    )
+
+    def mk(remat):
+        return Config(
+            runner="INTER", model="InterGANNet", syn_type="inter",
+            mode="xs2xs", train_coarse=True, coarse_model="VAEHRNet",
+            compute_dtype="float32", input_h=H, input_w=W, batch_size=B,
+            dataset="synthetic", vae=True, gan=True,
+            frame_disc=True, train_frame_disc=True, remat=remat)
+
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(B, H, W, vid_len=3, seed=0).items()}
+    results = {}
+    for remat in (False, True):
+        cfg = mk(remat)
+        variables = gan_lib.init_variables(cfg, jax.random.PRNGKey(0), batch)
+        state = state_lib.create_train_state(cfg, variables, frozen={})
+        step = gan_lib.make_train_step(cfg)
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        results[remat] = (losses, new_state)
+    l0, s0 = results[False]
+    l1, s1 = results[True]
+    for k in l0:
+        np.testing.assert_allclose(float(l0[k]), float(l1[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_vaehrnet_conv_latent_above_cap():
+    """Above the 4096-element latent cap the VAE moment heads go spatial
+    (1x1 convs) instead of the reference's flat Dense — whose parameter
+    count scales with the SQUARE of the pixel count (models/hrnet.py
+    VAEHRNet.__call__; at 512x1024 the Dense pair would be ~2 GiB bf16
+    each + 8 GiB Adamax state apiece).  Reference semantics at its own
+    resolutions (latent <= 4096) are pinned by test_vaehrnet_parity."""
+    h, w = 256, 384   # latent = 16*(256/16)*(384/16) = 6144 > 4096
+    rgb = jnp.zeros((1, h, w, 6), jnp.float32)
+    seg = jnp.zeros((1, h, w, 40), jnp.float32)
+    m = VAEHRNet(dtype=jnp.float32)
+    v = jax.eval_shape(
+        lambda: m.init({"params": jax.random.PRNGKey(0),
+                        "noise": jax.random.PRNGKey(1)},
+                       rgb, seg, rgb[..., :3], seg[..., :20], train=True))
+    params = v["params"]
+    assert "mu_conv" in params and "logvar_conv" in params
+    assert "mu_fc" not in params and "logvar_fc" not in params
+    # 1x1 conv heads: 16 -> 16 per position (vs 6144x6144 Dense)
+    assert params["mu_conv"]["kernel"].shape == (1, 1, 16, 16)
+    # eval mode samples a spatial z of the decoder's expected shape
+    out = jax.eval_shape(
+        lambda p: m.apply(p, rgb, seg, train=False,
+                          rngs={"noise": jax.random.PRNGKey(2)}),
+        v)
+    rgb_out, seg_out = out[0], out[1]
+    assert rgb_out.shape == (1, h, w, 3) and seg_out.shape == (1, h, w, 20)
