@@ -25,6 +25,9 @@ Stages:
 
 Writes docs/SMOKE_E2E_r3.json {stage: {...}} and prints one JSON line.
 Usage: python tools_smoke_e2e.py [--epochs 12] [--bs 4] [--keep]
+Stage timeout is 1500 s: on the TPU relay the train stage pays several
+fresh-shape compiles (train step, val metrics, viz grids) at ~1-2 min
+each before the fast per-iter loop; 580 s was enough on CPU only.
 """
 
 from __future__ import annotations
@@ -101,7 +104,7 @@ def build_fixture(root: str, n_vids=2, clip_len=30, src=150, interval=3,
 
 
 def run_cli(root: str, fix: dict, split: str, bs: int, epochs: int,
-            interval: int, extra: list, timeout=580, hw=(128, 128),
+            interval: int, extra: list, timeout=1500, hw=(128, 128),
             sub_extra: list = ()):
     # `extra` are GLOBAL flags (must precede the subcommand); `sub_extra`
     # are INTER-subparser flags

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-vgg", action="store_true")
     ap.add_argument("--gan", action="store_true")
+    ap.add_argument("--extra", type=int, default=0, metavar="N_STEPS",
+                    help="bench the EXTRApolation runner instead: ExtraNet/"
+                         "HRNet autoregressive rollout over N_STEPS "
+                         "prediction windows (BPTT through the rollout, "
+                         "runners/ExtraTrainer.py:253-310 semantics)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--remat", action="store_true",
@@ -99,6 +104,38 @@ def main():
         state = state_lib.create_train_state(cfg, variables, frozen=frozen)
         step = inter_gan.make_train_step(cfg)
         metric = "intergannet_vaehrnet_train_step_rate"
+    elif args.extra:
+        from deep_video_interpolation_extrapolation_tpu.train import extra
+        n_steps = args.extra
+        cfg = Config(
+            runner="EXTRA", model="ExtraNet", syn_type="extra", mode="xs2xs",
+            train_coarse=True, coarse_model="HRNet",
+            compute_dtype=args.dtype, remat=args.remat,
+            num_pred_step=n_steps, num_pred_once=1, vid_length=n_steps,
+            input_h=h, input_w=w, batch_size=b, dataset="synthetic",
+        )
+        model = registry.build_model(cfg)
+        dt = registry.compute_dtype(cfg)
+        # context frames 1,2 + rollout targets 3..2+n_steps (uint8 seg ids,
+        # the loader contract)
+        batch = {}
+        for i in range(1, 3 + n_steps):
+            batch[f"frame{i}"] = jax.random.uniform(
+                jax.random.fold_in(k2, i), (b, h, w, 3), jnp.float32, -1, 1)
+            batch[f"seg{i}"] = jnp.zeros((b, h, w), jnp.uint8)
+        x = jnp.concatenate([batch["frame1"], batch["frame2"]], axis=-1)
+        seg = jnp.concatenate(
+            [jax.nn.one_hot(batch["seg1"], 20, dtype=dt),
+             jax.nn.one_hot(batch["seg2"], 20, dtype=dt)], axis=-1)
+        variables = jax.jit(model.init, static_argnames=["train"])(
+            {"params": k0, "noise": k0}, x, seg,
+            gt_rgb=batch["frame3"],
+            gt_seg=jax.nn.one_hot(batch["seg3"], 20, dtype=dt), train=True)
+        frozen = ({} if args.no_vgg or not cfg.vgg_weight
+                  else {"vgg": init_vgg_frozen(cfg, k1)})
+        state = state_lib.create_train_state(cfg, variables, frozen=frozen)
+        step = extra.make_train_step(cfg, model)
+        metric = "extranet_hrnet_train_step_rate"
     else:
         cfg = Config(
             runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
@@ -181,6 +218,7 @@ def main():
         "frames_per_sec": round(sps * b, 2),
         "config": f"bs{b}_{h}x{w}_{args.dtype}_vgg={not args.no_vgg}"
                   + ("_gan" if args.gan else "")
+                  + (f"_extra{args.extra}" if args.extra else "")
                   + ("_remat" if args.remat else ""),
     }))
 
