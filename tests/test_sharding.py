@@ -270,3 +270,50 @@ def test_extra_rollout_ddp_equivalence():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(bb),
             atol=2.1 * cfg.coarse_learning_rate, rtol=1e-4)
+
+
+def test_remat_forward_on_2d_mesh_matches_unsharded():
+    """--remat (nn.remat backbone segments, models/hrnet.py) composed with
+    the (4,2) data x spatial mesh: the lifted checkpoint must partition
+    like the plain forward — same numbers as remat=False unsharded.
+    Pins the remat x SPMD interaction the full-res multi-chip training
+    path depends on."""
+    from deep_video_interpolation_extrapolation_tpu.core.config import Config
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+
+    h, w, b = 32, 64, 8
+    rng = np.random.RandomState(1)
+    rgb = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 6)), jnp.float32)
+    seg = jnp.asarray(
+        np.eye(20, dtype=np.float32)[rng.randint(0, 20, (b, h, w, 2))]
+        .reshape(b, h, w, 40))
+    outs = {}
+    for name, (nd, ns, remat) in {
+            "base": (1, 1, False), "remat2d": (4, 2, True)}.items():
+        cfg = Config(
+            runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
+            train_coarse=True, coarse_model="HRNet", compute_dtype="float32",
+            input_h=h, input_w=w, batch_size=b, dataset="synthetic",
+            num_data_shards=nd, num_spatial_shards=ns, remat=remat)
+        model = registry.build_model(cfg)
+        variables = jax.jit(model.init, static_argnames=["train"])(
+            jax.random.PRNGKey(0), rgb, seg, train=True)
+        if nd > 1:
+            mesh = create_mesh(nd, ns)
+            variables = jax.device_put(variables, replicated_sharding(mesh))
+            sh = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+            r, s = jax.device_put(rgb, sh), jax.device_put(seg, sh)
+        else:
+            r, s = rgb, seg
+
+        @jax.jit
+        def fwd(v, r, s):
+            # train=True: the remat lift is only active on the train path
+            return model.apply(v, r, s, train=True)
+
+        o_rgb, o_seg = fwd(variables, r, s)
+        outs[name] = (np.asarray(o_rgb), np.asarray(o_seg))
+    np.testing.assert_allclose(outs["base"][0], outs["remat2d"][0],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(outs["base"][1], outs["remat2d"][1],
+                               atol=1e-5, rtol=1e-5)
