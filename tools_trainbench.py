@@ -186,6 +186,7 @@ def main():
             "metric": "train_loop_hbm_gib",
             "config": f"bs{b}_{h}x{w}_{args.dtype}"
                       + ("_gan" if args.gan else "")
+                      + (f"_extra{args.extra}" if args.extra else "")
                       + ("_remat" if args.remat else ""),
             "temp_gib": round(ma.temp_size_in_bytes / gib, 3),
             "argument_gib": round(ma.argument_size_in_bytes / gib, 3),
