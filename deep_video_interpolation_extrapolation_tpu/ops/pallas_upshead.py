@@ -255,6 +255,14 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         w2ts = jnp.stack([w2t[k * n2:(k + 1) * n2] for k in range(ns)])
         args.append(w2ts.astype(dt))
+    kwargs = {}
+    if not interpret:
+        # the Mosaic default scoped-VMEM budget is 16 MB — far below the
+        # 128 MB physical VMEM — and it, not hardware, rejected every
+        # larger-than-default tile in the r3 sweep (th=16 needs 19.55M:
+        # "Scoped allocation ... exceeded scoped vmem limit by 3.55M")
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
     out = pl.pallas_call(
         kern,
         grid=(b, ni, nj),
@@ -269,6 +277,7 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
+        **kwargs,
     )(*args)
     return out
 
