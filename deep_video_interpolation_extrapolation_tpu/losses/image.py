@@ -111,7 +111,14 @@ def cross_entropy_loss(logits: jnp.ndarray, target_ids: jnp.ndarray) -> jnp.ndar
     (runners/InterTrainer.py:414).
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, target_ids[..., None].astype(jnp.int32), axis=-1)
+    # one-hot contraction instead of take_along_axis: XLA lowers the
+    # per-pixel gather to a latency-bound kCustom dynamic-gather (measured
+    # 7.07 ms at 1.5 GB/s for 32x128x128 px — ~5% of the whole train step,
+    # r3 train trace); the 20-lane select+sum is plain VPU work that fuses
+    # into the log_softmax.  Same math exactly: one term per pixel.
+    oh = jax.nn.one_hot(target_ids.astype(jnp.int32), logits.shape[-1],
+                        dtype=logp.dtype)
+    nll = -jnp.sum(logp * oh, axis=-1)
     return jnp.mean(nll)
 
 
