@@ -119,3 +119,24 @@ def test_export_extranet(tmp_path):
                                atol=1e-6, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out_seg), np.asarray(ref_seg),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_servebench_tool_smoke():
+    """tools_servebench.py end-to-end at tiny shapes: export -> reload
+    with no model code -> the feedback rollout produces one JSON line
+    (the serving-latency measurement contract, docs/ABLOG_r3.md)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools_servebench.py"),
+         "--bs", "1", "--hw", "16,32", "--iters", "2"],
+        capture_output=True, text=True, timeout=900, cwd=repo)
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["metric"] == "serving_artifact_interp_fps"
+    assert out["value"] > 0 and out["artifact_mb"] > 0
