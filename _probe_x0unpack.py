@@ -129,3 +129,70 @@ if __name__ == "__main__":
     probe_unpack64()
     probe_twodot_interleave()
     probe_hwnc_blockspec()
+    probe_fourdot_f4()
+    probe_f4_blockspec()
+
+
+def probe_fourdot_f4():
+    """The f4 consumer lowering: load a (r, c, 4C0) f4-packed block, lane-
+    slice the two 128-lane halves, dot each against the phase-masked
+    stacks, 4-way lane-concat, unpack-reshape (r, c, 4n) -> (r, 4c, n).
+    Zero producer cost: fused_out0 already writes this f4 form."""
+    r, c, c0, n = 8, 16, 64, 256
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    xq = jax.random.normal(k1, (r, c, 4 * c0), jnp.bfloat16)
+    w = jax.random.normal(k2, (c0, n), jnp.bfloat16)
+    x = jnp.reshape(xq, (r, 4 * c, c0))
+    ref = jnp.einsum("rpc,cn->rpn", x.astype(jnp.float32),
+                     w.astype(jnp.float32)) + 1.0
+    zeros = jnp.zeros_like(w)
+    we = jnp.concatenate([w, zeros], axis=0)          # (128, n)
+    wo = jnp.concatenate([zeros, w], axis=0)
+
+    def kern(x_ref, we_ref, wo_ref, o_ref):
+        dn = (((2,), (0,)), ((), ()))
+        xv = x_ref[...]
+        lo, hi = xv[:, :, :2 * c0], xv[:, :, 2 * c0:]
+        hs = [jax.lax.dot_general(part, wref[...], dn,
+                                  preferred_element_type=jnp.float32)
+              for part in (lo, hi) for wref in (we_ref, wo_ref)]
+        both = jnp.concatenate([hs[0], hs[1], hs[2], hs[3]], axis=-1)
+        up = jnp.reshape(both, (r, 4 * c, n))
+        o_ref[...] = up + jnp.float32(1.0)
+
+    try:
+        out = pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((r, 4 * c, n), jnp.float32),
+        )(xq, we, wo)
+        err = float(jnp.max(jnp.abs(out - ref)))
+        print(f"FOURDOT_F4: compiled, maxerr={err:.4f} correct={err < 0.5}")
+    except Exception as e:
+        print("FOURDOT_F4: FAILED", type(e).__name__,
+              str(e).split(chr(10))[0][:160])
+
+
+def probe_f4_blockspec():
+    """Consumer-side geometry: 4-D NHWC f4 array, (1, th, wt, 256) blocks
+    (same shape class as the shipping x0 BlockSpec, lanes 256)."""
+    B, H, W4, C = 2, 32, 32, 256
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, H, W4, C), jnp.bfloat16)
+    th, wt = 8, 16
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0
+
+    try:
+        out = pl.pallas_call(
+            kern,
+            grid=(B, H // th, W4 // wt),
+            in_specs=[pl.BlockSpec((1, th, wt, C),
+                                   lambda bi, i, j: (bi, i, j, 0))],
+            out_specs=pl.BlockSpec((1, th, wt, C),
+                                   lambda bi, i, j: (bi, i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, H, W4, C), jnp.bfloat16),
+        )(x)
+        ok = bool(jnp.all(out == x * 2.0))
+        print(f"F4_BLOCKSPEC: compiled, correct={ok}")
+    except Exception as e:
+        print("F4_BLOCKSPEC: FAILED", type(e).__name__,
+              str(e).split(chr(10))[0][:160])

@@ -705,8 +705,45 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
                  and not spatial_sharded
                  and os.environ.get("DVIE_FUSED_HEAD", "1") != "0")
     if use_fused:
-        parts = run_backbone(True)
         from deep_video_interpolation_extrapolation_tpu.ops import pallas_upshead
+        taps_ok = (rgb_head.out_dim * 9 <= 128
+                   and seg_head.out_dim * 9 <= 256)
+        parts = list(run_backbone(True))
+        # f4-x0: re-view stage-3's out-0 in the fuse0 producer's own f4
+        # block form — the consumer-side reshape cancels the producer's
+        # host view, so the kernel reads the buffer with zero retile
+        # copies (kills copy.361; ops/pallas_upshead.ups_head_taps_x0f4).
+        # The hidden width 2*cin must be a 128-multiple (the in-kernel
+        # unpack-reshape target).
+        x0f4 = None
+        if (taps_ok and (2 * cin) % 128 == 0
+                and parts[0].shape[-1] == n_ch[0]
+                and parts[0].shape[2] % 4 == 0
+                and os.environ.get("DVIE_HEAD_X0F4", "1") != "0"
+                and os.environ.get("DVIE_UPSHEAD_FOLD", "0") != "1"):
+            b0, h0, w0, c00 = parts[0].shape
+            cand = parts[0].reshape(b0, h0, w0 // 4, 4 * c00)
+            if pallas_upshead.fits_x0f4(cand, parts[1], parts[2], 2 * cin):
+                x0f4 = cand
+        if x0f4 is not None:
+            from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+                build_dual_tap_kernel,
+                taps_shifted_add,
+            )
+            (wr, br) = rgb_head.fc1_params()
+            (ws, bs) = seg_head.fc1_params()
+            w1 = jnp.concatenate([wr[0, 0], ws[0, 0]], axis=1)
+            b1 = jnp.concatenate([br, bs]).astype(jnp.float32)
+            (w2r, b2r) = rgb_head.conv2_params()
+            (w2s, b2s) = seg_head.conv2_params()
+            dt = parts[1].dtype
+            w2t = build_dual_tap_kernel(w2r, w2s, dt)
+            co = rgb_head.out_dim + seg_head.out_dim
+            yt = pallas_upshead.ups_head_taps_x0f4(
+                x0f4, parts[1], parts[2], w1, b1, w2t)
+            out = taps_shifted_add(yt, co)
+            out = out + jnp.concatenate([b2r, b2s]).astype(dt)
+            return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
         if pallas_upshead.fits(*parts):
             (wr, br) = rgb_head.fc1_params()
             (ws, bs) = seg_head.fc1_params()

@@ -49,9 +49,67 @@ TH = 8    # output rows per program
 WT = 32   # output f4-cells per program (= 128 px)
 
 
+def _ups2x_block(v1, th: int, wt: int, dt):
+    """x2 bilinear upsample of an f2-packed (th/2+2, wt+16, 2C1) f32 slab
+    to an unpacked (th, 4*wt, C1) tile (shared by every kernel here;
+    half-pixel weights per the module docstring)."""
+    rows = []
+    for r in range(th):
+        a = r // 2 + 1
+        if r % 2 == 0:
+            rows.append(0.25 * v1[a - 1] + 0.75 * v1[a])
+        else:
+            rows.append(0.75 * v1[a] + 0.25 * v1[a + 1])
+    u1 = jnp.stack(rows)                             # (th, wt+16, 2C1)
+    c1 = u1.shape[-1] // 2
+    ph0, ph1 = u1[:, :, :c1], u1[:, :, c1:]
+    s_cells = u1.shape[1]
+    cm1_p1 = pltpu.roll(ph1, 1, axis=1)[:, 8:8 + wt]
+    c_p0 = ph0[:, 8:8 + wt]
+    c_p1 = ph1[:, 8:8 + wt]
+    cp1_p0 = pltpu.roll(ph0, s_cells - 1, axis=1)[:, 8:8 + wt]
+    up1 = jnp.concatenate([
+        0.25 * cm1_p1 + 0.75 * c_p0,
+        0.75 * c_p0 + 0.25 * c_p1,
+        0.25 * c_p0 + 0.75 * c_p1,
+        0.75 * c_p1 + 0.25 * cp1_p0,
+    ], axis=-1).astype(dt)                           # (th, wt, 4C1) f4
+    return up1.reshape(th, 4 * wt, c1)
+
+
+def _ups4x_block(v2, th: int, wt: int, dt):
+    """x4 bilinear upsample of an unpacked (th/4+2, wt+16, C2) f32 slab
+    to an unpacked (th, 4*wt, C2) tile."""
+    rows = []
+    wts = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125), (0.625, 0.375))
+    for r in range(th):
+        a = r // 4 + 1
+        w_lo, w_hi = wts[r % 4]
+        if r % 4 < 2:
+            rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
+        else:
+            rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
+    u2 = jnp.stack(rows)                             # (th, wt+16, C2)
+    cm1 = pltpu.roll(u2, 1, axis=1)[:, 8:8 + wt]
+    cc = u2[:, 8:8 + wt]
+    cp1_ = pltpu.roll(u2, u2.shape[1] - 1, axis=1)[:, 8:8 + wt]
+    up2 = jnp.concatenate([
+        0.375 * cm1 + 0.625 * cc,
+        0.125 * cm1 + 0.875 * cc,
+        0.875 * cc + 0.125 * cp1_,
+        0.625 * cc + 0.375 * cp1_,
+    ], axis=-1).astype(dt)                           # (th, wt, 4C2)
+    c2 = v2.shape[-1]
+    return up2.reshape(th, 4 * wt, c2)
+
+
 def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
             *rest, th: int, wt: int, ni: int, nj: int, total: int,
-            ns: int = 1):
+            ns: int = 1, x0f4: bool = False):
+    rest = list(rest)
+    # x0f4: x0 arrives f4-packed (block (1, th, wt, 4C0)) and w1a_ref is
+    # the phase-EVEN masked stack [[W],[0]]; w1ao_ref the ODD [[0],[W]]
+    w1ao_ref = rest.pop(0) if x0f4 else None
     if len(rest) == 5:
         w2t_ref, out_ref, s1, s2, sems = rest
     else:
@@ -94,70 +152,47 @@ def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
     dn = (((2,), (0,)), ((), ()))
     cp1, cp2 = dmas(p % 2, p)
     cp1.wait()
-    # ---- x2 upsample of p1 (f2-packed: lanes = [phase0 C1 | phase1 C1])
-    v1 = s1[p % 2].astype(jnp.float32)               # (th/2+2, wt+16, 2C1)
-    rows = []
-    for r in range(th):
-        a = r // 2 + 1
-        if r % 2 == 0:
-            rows.append(0.25 * v1[a - 1] + 0.75 * v1[a])
-        else:
-            rows.append(0.75 * v1[a] + 0.25 * v1[a + 1])
-    u1 = jnp.stack(rows)                             # (th, wt+16, 2C1)
-    c1 = u1.shape[-1] // 2
-    ph0, ph1 = u1[:, :, :c1], u1[:, :, c1:]
-    # +-1 cell shifts via POSITIVE pltpu.roll (a -1 shift is +(S-1) with no
-    # wrap into the used window), so every slice starts at the 8-aligned
-    # center and all concat operands share offset-0 layouts — Mosaic
-    # rejects concats of mixed-offset operands, and sublane slices at
-    # start 7/9 would carry offsets 7/1.
-    s_cells = u1.shape[1]
-    cm1_p1 = pltpu.roll(ph1, 1, axis=1)[:, 8:8 + wt]
-    c_p0 = ph0[:, 8:8 + wt]
-    c_p1 = ph1[:, 8:8 + wt]
-    cp1_p0 = pltpu.roll(ph0, s_cells - 1, axis=1)[:, 8:8 + wt]
     dt = out_ref.dtype
-    up1 = jnp.concatenate([
-        0.25 * cm1_p1 + 0.75 * c_p0,
-        0.75 * c_p0 + 0.25 * c_p1,
-        0.25 * c_p0 + 0.75 * c_p1,
-        0.75 * c_p1 + 0.25 * cp1_p0,
-    ], axis=-1).astype(dt)                           # (th, wt, 4C1) f4-packed
-    up1 = up1.reshape(th, 4 * wt, c1)                # unpack (bitwise)
+    # ---- x2 upsample of p1 (f2-packed: lanes = [phase0 C1 | phase1 C1]).
+    # +-1 cell shifts inside use POSITIVE pltpu.roll (a -1 shift is +(S-1)
+    # with no wrap into the used window), so every slice starts at the
+    # 8-aligned center and all concat operands share offset-0 layouts —
+    # Mosaic rejects concats of mixed-offset operands, and sublane slices
+    # at start 7/9 would carry offsets 7/1.
+    up1 = _ups2x_block(s1[p % 2].astype(jnp.float32), th, wt, dt)
 
     cp2.wait()
     # ---- x4 upsample of p2 (unpacked: sublane = source column)
-    v2 = s2[p % 2].astype(jnp.float32)               # (th/4+2, wt+16, C2)
-    rows = []
-    wts = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125), (0.625, 0.375))
-    for r in range(th):
-        a = r // 4 + 1
-        w_lo, w_hi = wts[r % 4]
-        if r % 4 < 2:
-            rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
-        else:
-            rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
-    u2 = jnp.stack(rows)                             # (th, wt+16, C2)
-    cm1 = pltpu.roll(u2, 1, axis=1)[:, 8:8 + wt]
-    cc = u2[:, 8:8 + wt]
-    cp1_ = pltpu.roll(u2, u2.shape[1] - 1, axis=1)[:, 8:8 + wt]
-    up2 = jnp.concatenate([
-        0.375 * cm1 + 0.625 * cc,
-        0.125 * cm1 + 0.875 * cc,
-        0.875 * cc + 0.125 * cp1_,
-        0.625 * cc + 0.375 * cp1_,
-    ], axis=-1).astype(dt)                           # (th, wt, 4C2)
-    c2 = v2.shape[-1]
-    up2 = up2.reshape(th, 4 * wt, c2)
+    up2 = _ups4x_block(s2[p % 2].astype(jnp.float32), th, wt, dt)
 
     # N-split loop (ns>1 only with the taps matmul): halving the hidden-N
     # per pass halves the f32 accumulator footprint, buying larger tiles.
     # Weight refs carry a leading (ns,) dim.
-    x0 = x0_ref[0]                                   # (th, 4wt, C0)
+    if x0f4:
+        xq = x0_ref[0]                               # (th, wt, 4C0) f4
+        half = xq.shape[-1] // 2
+        x_lo, x_hi = xq[:, :, :half], xq[:, :, half:]
+    else:
+        x0 = x0_ref[0]                               # (th, 4wt, C0)
     yt = None
     for s_i in range(ns):
-        acc = jax.lax.dot_general(x0, w1a_ref[s_i], dn,
-                                  preferred_element_type=jnp.float32)
+        if x0f4:
+            # FOUR-DOT INTERLEAVE (probed Mosaic-legal + exact on TPU,
+            # _probe_x0unpack.py FOURDOT_F4): lane-slice the two 128-lane
+            # halves (pixels 4i,4i+1 | 4i+2,4i+3), dot each against the
+            # phase-masked stacks, lane-concat per cell, unpack-reshape to
+            # per-pixel rows.  The zero rows make this bit-identical to
+            # dot(unpacked_x0, w1a); padded-FLOP cost is unchanged (the
+            # K=64 dot already padded to 128 lanes on the MXU).
+            hs = [jax.lax.dot_general(part, wref[s_i], dn,
+                                      preferred_element_type=jnp.float32)
+                  for part in (x_lo, x_hi)
+                  for wref in (w1a_ref, w1ao_ref)]
+            both = jnp.concatenate(hs, axis=-1)      # (th, wt, 4n)
+            acc = jnp.reshape(both, (th, 4 * wt, both.shape[-1] // 4))
+        else:
+            acc = jax.lax.dot_general(x0, w1a_ref[s_i], dn,
+                                      preferred_element_type=jnp.float32)
         acc = acc + jax.lax.dot_general(up1, w1b_ref[s_i], dn,
                                         preferred_element_type=jnp.float32)
         acc = acc + jax.lax.dot_general(up2, w1c_ref[s_i], dn,
@@ -194,10 +229,21 @@ def _ups_head_ref(p0, p1, p2, w1, b1):
     return jnp.where(h >= 0, h, 0.2 * h)
 
 
-def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
+def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False,
+                 x0_f4=False):
     import os
 
-    b, h, w, c0 = p0.shape
+    if x0_f4:
+        # p0 is f4-packed (B, H, W/4, 4*C0) — the BIT-IDENTICAL row-major
+        # view of the stage-3 fuse0 kernel's own output block form
+        # (ops/pallas_fuse0._impl writes f4 grid blocks), so reading it
+        # here costs ZERO relayout copies: the 64-lane NHWC BlockSpec's
+        # (8,128)-retile paid a measured 3.1 ms at 8x512x1024 bf16
+        # (copy.361, docs/ROOFLINE_r3.md).
+        b, h, w4_, c04 = p0.shape
+        w, c0 = 4 * w4_, c04 // 4
+    else:
+        b, h, w, c0 = p0.shape
     c1, c2 = p1.shape[-1], p2.shape[-1]
     th, wt, ns = TH, WT, 1
     tile_env = os.environ.get("DVIE_UPSHEAD_TILE")
@@ -239,10 +285,20 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
     n = n2 if w2t is None else w2t.shape[1]
 
     kern = functools.partial(_kernel, th=th, wt=wt, ni=ni, nj=nj,
-                             total=b * ni * nj, ns=ns)
+                             total=b * ni * nj, ns=ns, x0f4=x0_f4)
+    if x0_f4:
+        x0_spec = pl.BlockSpec((1, th, wt, 4 * c0),
+                               lambda bi, i, j: (bi, i, j, 0),
+                               memory_space=pltpu.VMEM)
+        zeros = jnp.zeros_like(w1a)
+        w1a_e = jnp.concatenate([w1a, zeros], axis=1)   # (ns, 2c0, n2)
+        w1a_o = jnp.concatenate([zeros, w1a], axis=1)
+    else:
+        x0_spec = pl.BlockSpec((1, th, 4 * wt, c0),
+                               lambda bi, i, j: (bi, i, j, 0),
+                               memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, th, 4 * wt, c0), lambda bi, i, j: (bi, i, j, 0),
-                     memory_space=pltpu.VMEM),
+        x0_spec,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -250,7 +306,10 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False):
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    args = [p0, p1p, p2p, w1a, w1b, w1c, b1s]
+    args = [p0, p1p, p2p, w1a_e if x0_f4 else w1a, w1b, w1c, b1s]
+    if x0_f4:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(w1a_o)
     if w2t is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         w2ts = jnp.stack([w2t[k * n2:(k + 1) * n2] for k in range(ns)])
@@ -339,6 +398,64 @@ def fits(p0, p1, p2) -> bool:
     """Shape gate for the fused path (see _pallas_impl asserts)."""
     b, h, w, c0 = p0.shape
     return (h % TH == 0 and w % 32 == 0 and w >= 32
+            and p1.shape[1:3] == (h // 2, w // 2)
+            and p2.shape[1:3] == (h // 4, w // 4)
+            and p1.shape[-1] % 128 == 0 and p2.shape[-1] % 128 == 0
+            and (h // 4) >= 2)
+
+
+# ---------------------------------------------------------------------------
+# f4-x0 variant: x0 consumed as the f4-packed (B, H, W/4, 4*C0) row-major
+# view — BIT-IDENTICAL to the stage-3 fuse0 kernel's own output block
+# form (ops/pallas_fuse0._impl writes f4 grid blocks and only VIEWS the
+# result as NHWC), killing the producer->kernel retile copy (copy.361,
+# 3.1 ms at 8x512x1024 bf16; the consumer-side re-view cancels the
+# producer's host reshape).  Per-pixel rows are recovered in-VMEM by the
+# FOUR-DOT INTERLEAVE lowering probed exact on TPU (_probe_x0unpack.py):
+# lane-slice the 128-lane halves, dot each against [[W],[0]] / [[0],[W]],
+# lane-concat, unpack-reshape — same padded FLOPs as the padded K=64 dot
+# it replaces.
+# ---------------------------------------------------------------------------
+
+
+def _unpack_x0f4(x0f4):
+    """(B, H, W/4, 4C0) f4 -> (B, H, W, C0) NHWC (free row-major view;
+    used by the vjp reference and the fits-miss fallback)."""
+    b, h, w4, c04 = x0f4.shape
+    return x0f4.reshape(b, h, 4 * w4, c04 // 4)
+
+
+def _ups_head_taps_x0f4_ref(x0f4, p1, p2, w1, b1, w2t):
+    return _ups_head_taps_ref(_unpack_x0f4(x0f4), p1, p2, w1, b1, w2t)
+
+
+@jax.custom_vjp
+def ups_head_taps_x0f4(x0f4, p1, p2, w1, b1, w2t):
+    """``ups_head_taps`` with x0 in the f4-packed form (see above)."""
+    return _pallas_impl(x0f4, p1, p2, w1, b1, w2t=w2t, x0_f4=True)
+
+
+def _fwd_taps_x0f4(x0f4, p1, p2, w1, b1, w2t):
+    return (ups_head_taps_x0f4(x0f4, p1, p2, w1, b1, w2t),
+            (x0f4, p1, p2, w1, b1, w2t))
+
+
+def _bwd_taps_x0f4(res, g):
+    _, vjp = jax.vjp(_ups_head_taps_x0f4_ref, *res)
+    return vjp(g)
+
+
+ups_head_taps_x0f4.defvjp(_fwd_taps_x0f4, _bwd_taps_x0f4)
+
+
+def fits_x0f4(x0f4, p1, p2, n1: int) -> bool:
+    """Shape gate for the f4-x0 path: the probed lowerings additionally
+    need 4*C0 == 256 exactly (two 128-lane phase pairs per f4 cell) and
+    the hidden width a 128 multiple (the unpack-reshape target)."""
+    b, h, w4, c04 = x0f4.shape
+    w = 4 * w4
+    return (c04 == 256 and n1 % 128 == 0
+            and h % TH == 0 and w % 32 == 0 and w >= 32
             and p1.shape[1:3] == (h // 2, w // 2)
             and p2.shape[1:3] == (h // 4, w // 4)
             and p1.shape[-1] % 128 == 0 and p2.shape[-1] % 128 == 0
