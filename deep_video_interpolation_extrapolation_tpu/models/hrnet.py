@@ -639,6 +639,37 @@ class _Head(nn.Module):
         return self.conv2(None, return_params=True)
 
 
+def _finish_taps(yt: jnp.ndarray, co: int, b2: jnp.ndarray) -> jnp.ndarray:
+    """Shifted-add + bias tail shared by every taps-producing head path.
+
+    The standalone Pallas kernel (ops/pallas_shiftadd.py) reads the taps
+    tensor in the producer's own row-major form to skip the XLA 5-D
+    view's 6.0 ms retile (copy.357, r4 trace) — but MEASURED LOSES:
+    35.21 vs 36.34 fps at the bench config (its 8 non-power-of-2 lane
+    rolls out-cost the copies; third losing alternative after the
+    flat-lane slices, ~10 ms, and the in-kernel fold, -2.7 fps).  Stays
+    opt-in via DVIE_SHIFTADD=1; the XLA composition is the default
+    (bf16 tap accumulation vs the kernel's f32; both within bf16
+    rounding of each other)."""
+    import os
+
+    from deep_video_interpolation_extrapolation_tpu.core.hw import (
+        pallas_enabled,
+    )
+    dt = yt.dtype
+    if (pallas_enabled()
+            and os.environ.get("DVIE_SHIFTADD", "0") == "1"):
+        from deep_video_interpolation_extrapolation_tpu.ops import (
+            pallas_shiftadd,
+        )
+        if pallas_shiftadd.fits(yt, co):
+            return pallas_shiftadd.shifted_add_bias(yt, b2)
+    from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+        taps_shifted_add,
+    )
+    return taps_shifted_add(yt, co) + b2.astype(dt)
+
+
 def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
                  highres_large: bool, dtype,
                  spatial_sharded: bool = False
@@ -695,8 +726,7 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
             w2t = build_dual_tap_kernel(w2r, w2s, dt)
             yt = pallas_upshead.ups_head_taps4(*parts, w1, b1, w2t)
             co = rgb_head.out_dim + seg_head.out_dim
-            out = taps_shifted_add(yt, co)
-            out = out + jnp.concatenate([b2r, b2s]).astype(dt)
+            out = _finish_taps(yt, co, jnp.concatenate([b2r, b2s]))
             return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
         # fits4 miss: fall through to the shared unfused tail below
         feat = _concat_pyramid(parts)
@@ -741,8 +771,7 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
             co = rgb_head.out_dim + seg_head.out_dim
             yt = pallas_upshead.ups_head_taps_x0f4(
                 x0f4, parts[1], parts[2], w1, b1, w2t)
-            out = taps_shifted_add(yt, co)
-            out = out + jnp.concatenate([b2r, b2s]).astype(dt)
+            out = _finish_taps(yt, co, jnp.concatenate([b2r, b2s]))
             return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
         if pallas_upshead.fits(*parts):
             (wr, br) = rgb_head.fc1_params()
@@ -774,8 +803,7 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
                     return (out[..., :rgb_head.out_dim],
                             out[..., rgb_head.out_dim:])
                 yt = pallas_upshead.ups_head_taps(*parts, w1, b1, w2t)
-                out = taps_shifted_add(yt, co)
-                out = out + b2.astype(dt)
+                out = _finish_taps(yt, co, b2)
                 return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
             h = pallas_upshead.ups_head_1x1(*parts, w1, b1)
             return rgb_head(None, h1=h[..., :cin]), seg_head(None, h1=h[..., cin:])

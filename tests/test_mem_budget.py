@@ -1,0 +1,52 @@
+"""Peak-HBM regression pins for the full-res training configs.
+
+The flagship full-res fits are razor-thin (bs2 InterNet: 15.742 of
+15.75 GiB at round 3) and nothing used to pin them — any innocuous
+change could silently re-OOM 512x1024 training.  These tests compile
+(without executing) the exact `tools_trainbench` loop per config and
+assert the compiler's own memory analysis stays under the v5e HBM
+budget.
+
+TPU-only + slow: each case is a full-res AOT compile (~minutes through
+the relay).  Run explicitly:
+    python -m pytest tests/test_mem_budget.py -q
+"""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [pytest.mark.slow]
+
+HBM_BUDGET_GIB = 15.75
+
+# (args, label) — the three full-res --remat recipes TRAINBENCH_r3 proved
+# fit, plus the full-res extrapolation BPTT rollout
+CONFIGS = [
+    (["--bs", "2", "--hw", "512,1024", "--remat"], "inter_bs2"),
+    (["--bs", "1", "--hw", "512,1024", "--remat", "--gan"], "gan_bs1"),
+    (["--bs", "1", "--hw", "512,1024", "--remat", "--extra", "2"],
+     "extra_bs1"),
+]
+
+
+def _tpu_available() -> bool:
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="needs the TPU compiler")
+@pytest.mark.parametrize("args,label", CONFIGS, ids=[c[1] for c in CONFIGS])
+def test_fullres_train_peak_hbm_under_budget(args, label):
+    out = subprocess.run(
+        [sys.executable, "tools_trainbench.py", "--mem-only", *args],
+        capture_output=True, text=True, timeout=1500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["total_gib"] <= HBM_BUDGET_GIB, (label, rec)
