@@ -113,6 +113,15 @@ from deep_video_interpolation_extrapolation_tpu.models.srn_legacy import (  # no
     MSResnetBlock,
     MSBaseRefine,
 )
+from deep_video_interpolation_extrapolation_tpu.models.attn_legacy import (  # noqa: F401
+    AttnRefineV2,
+    AttnRefineV2O,
+    AttnRefineV2Base,
+    AttnRefineV3,
+    AttnRefineV3Base,
+    AttnRefineV4,
+    AttnRefineV4Base,
+)
 from deep_video_interpolation_extrapolation_tpu.models.registry import (  # noqa: F401
     build_model,
 )

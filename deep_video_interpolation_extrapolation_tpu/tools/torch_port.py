@@ -531,3 +531,99 @@ def port_reference_checkpoint(ckpt: Mapping, states: Dict[str, Dict],
     if legacy_shape:
         return out
     return out, bs_states
+
+
+def port_attn_legacy(sd: Mapping, variables: Dict, variant: str) -> Dict:
+    """Map a reference AttnRefineV2..V4 state_dict (nets/SRN.py:581-1242)
+    onto our models/attn_legacy variables (verified:
+    tests/test_attn_legacy_parity.py).
+
+    ``variant``: v2 | v2o | v2base | v3 | v3base | v4 | v4base.  For v2,
+    ``variables`` must carry batch_stats (the nested ResNet101Features);
+    torch keys arrive under the double prefix ``resnet101.resnet101.``
+    (my_resnet101 wraps the torchvision net, nets/resnet101.py:5-9).
+    """
+    import jax
+
+    new = jax.tree_util.tree_map(lambda x: x, variables)
+    p = new["params"] if "params" in new else new
+
+    def conv(dst, t):
+        dst["kernel"] = conv_w(sd, t + ".weight")
+        if t + ".bias" in sd:
+            dst["bias"] = vec(sd, t + ".bias")
+
+    def res(dst, t):
+        conv(dst["Conv_0"], t + ".conv.0")
+        conv(dst["Conv_1"], t + ".conv.2")
+
+    def enc_head(node, t, blocks=3):
+        # torch: Sequential[Conv2d, LReLU, RB x blocks]
+        conv(node["Conv_0"], f"{t}.0")
+        for k in range(blocks):
+            res(node[f"ResnetBlock_{k}"], f"{t}.{2 + k}")
+
+    def enc_l3(node, t):
+        conv(node["Conv_0"], f"{t}.conv.0")
+        for k in range(3):
+            res(node[f"ResnetBlock_{k}"], f"{t}.conv.{2 + k}")
+
+    def dec_l5(node, t):
+        for k in range(3):
+            res(node[f"ResnetBlock_{k}"], f"{t}.conv.{k}")
+        ct = node["ConvT_0"]["ConvTranspose_0"]
+        ct["kernel"] = convT_w(sd, f"{t}.conv.3.weight")
+        ct["bias"] = vec(sd, f"{t}.conv.3.bias")
+
+    def dec_out(node, t):
+        for k in range(3):
+            res(node[f"ResnetBlock_{k}"], f"{t}.conv.{k}")
+        conv(node["Conv_0"], f"{t}.conv.3")
+
+    def mid(node, t, rb_at):
+        conv(node["Conv_0"], f"{t}.0")
+        if rb_at == 4:
+            conv(node["Conv_1"], f"{t}.2")
+        for k in range(2):
+            res(node[f"ResnetBlock_{k}"], f"{t}.{rb_at + k}")
+
+    if variant in ("v2", "v2o", "v2base"):
+        enc_head(p["encoder_1"], "encoder_1")
+        for i in (2, 3, 4):
+            enc_l3(p[f"encoder_{i}"], f"encoder_{i}")
+        mid(p["mid"], "mid", rb_at=2)
+        for i in (4, 3, 2):
+            dec_l5(p[f"decoder_{i}"], f"decoder_{i}")
+        dec_out(p["decoder_1"], "decoder_1")
+        if variant == "v2":
+            from deep_video_interpolation_extrapolation_tpu.models.features import (
+                load_torch_resnet101_state,
+            )
+            pref = "resnet101.resnet101."
+            sub_sd = {k[len(pref):]: v for k, v in sd.items()
+                      if k.startswith(pref)}
+            sub = load_torch_resnet101_state(
+                {"params": p["resnet101"],
+                 "batch_stats": new["batch_stats"]["resnet101"]}, sub_sd)
+            p["resnet101"] = sub["params"]
+            new["batch_stats"]["resnet101"] = sub["batch_stats"]
+    elif variant in ("v3", "v3base", "v4", "v4base"):
+        enc_head(p["img_encoder_1"], "img_encoder_1")
+        enc_l3(p["img_encoder_2"], "img_encoder_2")
+        enc_l3(p["img_encoder_3"], "img_encoder_3")
+        if variant in ("v3", "v4"):
+            enc_head(p["attn_encoder_1"], "attn_encoder_1",
+                     blocks=1 if variant == "v4" else 3)
+            enc_l3(p["attn_encoder_2"], "attn_encoder_2")
+            if (variant == "v3"
+                    or any(k.startswith("attn_encoder_3.") for k in sd)):
+                enc_l3(p["attn_encoder_3"], "attn_encoder_3")
+            # v4: the reference never defines attn_encoder_3 (documented
+            # bug, models/attn_legacy.py) — our completion keeps its init
+        mid(p["mid"], "mid", rb_at=4)
+        for i in (3, 2):
+            dec_l5(p[f"decoder_{i}"], f"decoder_{i}")
+        dec_out(p["decoder_1"], "decoder_1")
+    else:
+        raise KeyError(variant)
+    return new

@@ -3,9 +3,10 @@
 The flagship full-res fits are razor-thin (bs2 InterNet: 15.742 of
 15.75 GiB at round 3) and nothing used to pin them — any innocuous
 change could silently re-OOM 512x1024 training.  These tests compile
-(without executing) the exact `tools_trainbench` loop per config and
-assert the compiler's own memory analysis stays under the v5e HBM
-budget.
+(without executing) the exact `tools_trainbench` loop per config in a
+SUBPROCESS with the TPU env restored (the suite's conftest re-execs
+pytest with JAX_PLATFORMS=cpu, which children inherit) and assert the
+compiler's own memory analysis stays under the v5e HBM budget.
 
 TPU-only + slow: each case is a full-res AOT compile (~minutes through
 the relay).  Run explicitly:
@@ -13,6 +14,8 @@ the relay).  Run explicitly:
 """
 
 import json
+import os
+import re
 import subprocess
 import sys
 
@@ -23,7 +26,7 @@ pytestmark = [pytest.mark.slow]
 HBM_BUDGET_GIB = 15.75
 
 # (args, label) — the three full-res --remat recipes TRAINBENCH_r3 proved
-# fit, plus the full-res extrapolation BPTT rollout
+# fit, incl. the full-res extrapolation BPTT rollout
 CONFIGS = [
     (["--bs", "2", "--hw", "512,1024", "--remat"], "inter_bs2"),
     (["--bs", "1", "--hw", "512,1024", "--remat", "--gan"], "gan_bs1"),
@@ -32,20 +35,44 @@ CONFIGS = [
 ]
 
 
+def _tpu_env() -> dict:
+    """Child env with the conftest's CPU pin removed."""
+    env = dict(os.environ)
+    for k in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "_DVIE_TEST_REEXEC"):
+        env.pop(k, None)
+    flags = env.get("XLA_FLAGS", "")
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   flags).strip()
+    if flags:
+        env["XLA_FLAGS"] = flags
+    else:
+        env.pop("XLA_FLAGS", None)
+    return env
+
+
 def _tpu_available() -> bool:
+    """Probe in a SUBPROCESS: the in-process backend is the conftest CPU."""
     try:
-        import jax
-        return jax.default_backend() == "tpu"
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=180, env=_tpu_env())
+        return res.stdout.strip().endswith("tpu")
     except Exception:
         return False
 
 
-@pytest.mark.skipif(not _tpu_available(), reason="needs the TPU compiler")
+@pytest.fixture(scope="module")
+def tpu():
+    if not _tpu_available():
+        pytest.skip("needs the TPU compiler")
+
+
 @pytest.mark.parametrize("args,label", CONFIGS, ids=[c[1] for c in CONFIGS])
-def test_fullres_train_peak_hbm_under_budget(args, label):
+def test_fullres_train_peak_hbm_under_budget(args, label, tpu):
     out = subprocess.run(
         [sys.executable, "tools_trainbench.py", "--mem-only", *args],
-        capture_output=True, text=True, timeout=1500)
+        capture_output=True, text=True, timeout=1500, env=_tpu_env())
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
