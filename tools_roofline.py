@@ -35,7 +35,7 @@ def pad128(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def gather_layers(hw=(128, 128)):
+def gather_layers(hw=(128, 128), highres_large=False):
     """(name, cin, cout, kh, kw, out_pixels) for every conv, via the same
     standalone reference oracle the parity tests use."""
     import torch
@@ -44,7 +44,7 @@ def gather_layers(hw=(128, 128)):
 
     mod = load_ref_hrnet()
     ns = argparse.Namespace(
-        syn_type="inter", mode="xs2xs", highres_large=False,
+        syn_type="inter", mode="xs2xs", highres_large=highres_large,
         num_pred_once=1, fix_init_frames=False, inpaint=False,
         inpaint_mask=False)
     model = mod.HRNet(ns).eval()
@@ -89,10 +89,12 @@ def main():
     ap.add_argument("--hw", type=str, default="512,1024")
     ap.add_argument("--measured-fps", type=float, default=None,
                     help="measured bench fps to compare against")
+    ap.add_argument("--highres-large", action="store_true",
+                    help="the 4-branch HIGH4 config (nets/HRNet.py:313-334)")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split(","))
 
-    base = gather_layers()
+    base = gather_layers(highres_large=args.highres_large)
     scale = (h * w) / (128 * 128)
     logical = padded = 0.0
     by_region: dict = {}
@@ -121,7 +123,8 @@ def main():
     sol_fps = V5E_BF16_TFLOPS * 1e12 / padded
     out = {
         "metric": "padded_flop_roofline",
-        "config": f"{h}x{w}_bf16",
+        "config": f"{h}x{w}_bf16"
+                  + ("_hl4" if args.highres_large else ""),
         "gflops_logical": round(logical / 1e9, 1),
         "gflops_padded": round(padded / 1e9, 1),
         "padding_expansion": round(padded / logical, 3),
