@@ -416,3 +416,53 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(cont.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+class TestFlatOptimizer:
+    def test_flat_state_bit_identical_to_per_leaf(self, monkeypatch):
+        """DVIE_FLAT_OPT=1 ravels each submodel's optimizer state into one
+        vector per moment (train/state._flat_opt).  Adamax/Adam are
+        elementwise, so the trajectory must be BIT-identical to the
+        per-leaf default — this pins that the measured-refuted perf
+        experiment can stay available without a numerics caveat."""
+        from jax.flatten_util import ravel_pytree
+
+        cfg = _cfg()
+        params = {"coarse_model": {
+            "a": {"kernel": jnp.arange(12, dtype=jnp.float32).reshape(3, 4) / 7,
+                  "bias": jnp.ones(4)},
+            "b": {"kernel": -jnp.arange(8, dtype=jnp.float32).reshape(2, 4) / 3},
+        }}
+        grads = jax.tree_util.tree_map(lambda x: jnp.sin(x) + 0.1, params)
+        outs = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("DVIE_FLAT_OPT", flag)
+            tx = state_lib.make_tx(cfg.coarse_optimizer,
+                                   cfg.coarse_learning_rate)
+            tgt = (ravel_pytree(params["coarse_model"])[0] if flag == "1"
+                   else params["coarse_model"])
+            st = state_lib.TrainState(
+                params=params, batch_stats={},
+                opt_states={"coarse_model": tx.init(tgt)},
+                step=jnp.zeros((), jnp.int32))
+            st = state_lib.apply_updates(cfg, st, grads)
+            st = state_lib.apply_updates(cfg, st, grads)
+            outs[flag] = st
+        for a, b in zip(jax.tree_util.tree_leaves(outs["0"].params),
+                        jax.tree_util.tree_leaves(outs["1"].params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_create_train_state_respects_flag(self, monkeypatch):
+        monkeypatch.setenv("DVIE_FLAT_OPT", "1")
+        cfg = _cfg()
+        model = TinyInterNet(cfg)
+        batch = _batch()
+        state = _init_state(cfg, model, batch)
+        mu = state.opt_states["coarse_model"][0].mu
+        assert isinstance(mu, jax.Array) and mu.ndim == 1
+        step = jax.jit(inter_lib.make_train_step(cfg, model))
+        state2, losses = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["loss_all"]))
+        # params keep their tree form; only the moments are flat
+        assert (jax.tree_util.tree_structure(state2.params)
+                == jax.tree_util.tree_structure(state.params))
