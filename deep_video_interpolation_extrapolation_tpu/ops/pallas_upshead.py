@@ -386,7 +386,74 @@ def _fwd_taps(p0, p1, p2, w1, b1, w2t):
     return ups_head_taps(p0, p1, p2, w1, b1, w2t), (p0, p1, p2, w1, b1, w2t)
 
 
+def _explicit_taps_bwd(p0, p1, p2, w1, b1, w2t, g):
+    """Hand-scheduled backward for the taps head (r4 train-MFU lever).
+
+    The autodiff backward (``jax.vjp`` of ``_ups_head_taps_ref``)
+    re-materializes the 896-ch hidden for BOTH einsum vjps and regroups
+    the cotangent into a 5-D per-tap tensor — together ~9 GB / 13 ms of
+    the 128x128 bs32 train step (r4 train trace, docs/TRAINBENCH_r4.md).
+    This version hand-schedules the same math:
+
+    - ``h`` is recomputed ONCE with the fused Pallas forward
+      (:func:`ups_head_1x1`), so the upsample-concat never makes an HBM
+      round trip on its own;
+    - the lrelu mask comes from ``sign(h)`` (lrelu preserves sign), so
+      the pre-activation is never stored;
+    - both weight grads contract the cotangent in its native
+      (B, H, W, N) form — no 5-D regrouping — with f32 accumulation
+      (>= the autodiff path's bf16-output precision);
+    - ``dp1``/``dp2`` ride the structured vjp of
+      ``interpolate_bilinear`` on the already-split 128/256-ch slices.
+
+    MEASURED (r4, real chip, 128x128 bs32 recipe): throughput-neutral —
+    7.133 vs 7.130 steps/s (the saved materializations are repaid by the
+    Pallas h-recompute write); kept DEFAULT ON for the accuracy win:
+    every gradient lands 4-50x closer to the f32-oracle than the
+    autodiff-bf16 path (dx0 3.7e-2 -> 2.7e-3, dw1 8.5e-3 -> 6.1e-4,
+    dw2t 3.2e-3 -> 5.7e-5 max-rel).  DVIE_HEAD_EXPL_BWD=0 restores the
+    autodiff composition.
+    """
+    from deep_video_interpolation_extrapolation_tpu.ops.resize import (
+        interpolate_bilinear,
+    )
+
+    c0, c1, c2 = p0.shape[-1], p1.shape[-1], p2.shape[-1]
+    size = p0.shape[1:3]
+    h = ups_head_1x1(p0, p1, p2, w1, b1)            # fused recompute
+    dw2t = jnp.einsum("bhwc,bhwn->cn", h, g,
+                      preferred_element_type=jnp.float32)
+    dh = jnp.einsum("bhwn,cn->bhwc", g, w2t.astype(g.dtype),
+                    preferred_element_type=g.dtype)
+    dpre = jnp.where(h >= 0, dh, jnp.asarray(0.2, dh.dtype) * dh)
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=(0, 1, 2))
+    up1, up1_vjp = jax.vjp(
+        lambda x: interpolate_bilinear(x, size=size, align_corners=False), p1)
+    up2, up2_vjp = jax.vjp(
+        lambda x: interpolate_bilinear(x, size=size, align_corners=False), p2)
+    # dw1 row-blocks per pyramid part: no (B,H,W,448) concat materializes
+    dw1 = jnp.concatenate([
+        jnp.einsum("bhwc,bhwn->cn", part, dpre,
+                   preferred_element_type=jnp.float32)
+        for part in (p0, up1, up2)], axis=0)
+    dcat = jnp.einsum("bhwn,cn->bhwc", dpre, w1.astype(dpre.dtype),
+                      preferred_element_type=dpre.dtype)
+    dp0 = dcat[..., :c0].astype(p0.dtype)
+    (dp1,) = up1_vjp(dcat[..., c0:c0 + c1])
+    (dp2,) = up2_vjp(dcat[..., c0 + c1:])
+    return (dp0, dp1.astype(p1.dtype), dp2.astype(p2.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2t.astype(w2t.dtype))
+
+
+def _use_explicit_bwd() -> bool:
+    import os
+    return os.environ.get("DVIE_HEAD_EXPL_BWD", "1") != "0"
+
+
 def _bwd_taps(res, g):
+    if _use_explicit_bwd():
+        return _explicit_taps_bwd(*res, g)
     _, vjp = jax.vjp(_ups_head_taps_ref, *res)
     return vjp(g)
 
@@ -441,6 +508,12 @@ def _fwd_taps_x0f4(x0f4, p1, p2, w1, b1, w2t):
 
 
 def _bwd_taps_x0f4(res, g):
+    if _use_explicit_bwd():
+        x0f4, p1, p2, w1, b1, w2t = res
+        b, hh, w4, c04 = x0f4.shape
+        dp0, dp1, dp2, dw1, db1, dw2t = _explicit_taps_bwd(
+            _unpack_x0f4(x0f4), p1, p2, w1, b1, w2t, g)
+        return (dp0.reshape(b, hh, w4, c04), dp1, dp2, dw1, db1, dw2t)
     _, vjp = jax.vjp(_ups_head_taps_x0f4_ref, *res)
     return vjp(g)
 

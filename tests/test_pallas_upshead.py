@@ -461,3 +461,40 @@ def test_highres_large_fused_heads_match_unfused(monkeypatch):
     for a, b in zip(out, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=3e-4)
+
+
+def test_explicit_bwd_matches_autodiff_bwd(monkeypatch):
+    """The hand-scheduled backward (DVIE_HEAD_EXPL_BWD, default) and the
+    jax.vjp-of-reference backward are the same math: in f32 they must
+    agree to float tolerance for every operand grad."""
+    from deep_video_interpolation_extrapolation_tpu.ops import pallas_upshead as m
+    from deep_video_interpolation_extrapolation_tpu.ops.tapped_conv import (
+        build_dual_tap_kernel,
+    )
+
+    rng = np.random.RandomState(7)
+    p0, p1, p2, w1, b1 = _mk(1, 16, 32, seed=7)
+    w2r = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 448, 3)), jnp.float32)
+    w2s = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 448, 20)), jnp.float32)
+    w2t = build_dual_tap_kernel(w2r, w2s, jnp.float32)
+
+    interpret = jax.default_backend() != "tpu"
+    orig = m._pallas_impl
+    if interpret:
+        monkeypatch.setitem(
+            m.__dict__, "_pallas_impl",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    def loss(*a):
+        return jnp.sum(m.ups_head_taps(*a).astype(jnp.float32) ** 2)
+
+    grads = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("DVIE_HEAD_EXPL_BWD", flag)
+        grads[flag] = jax.grad(loss, argnums=tuple(range(6)))(
+            p0, p1, p2, w1, b1, w2t)
+    for name, a, b in zip(("dp0", "dp1", "dp2", "dw1", "db1", "dw2t"),
+                          grads["0"], grads["1"]):
+        scale = max(float(jnp.abs(a).max()), 1e-6)
+        dev = float(jnp.abs(a - b).max()) / scale
+        assert dev < 5e-5, (name, dev)
