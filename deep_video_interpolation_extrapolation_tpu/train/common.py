@@ -64,7 +64,15 @@ def rgb_bundle(cfg: Config, pred, gt, vgg_fn, prefix: str, refine: bool = False)
         w = (cfg.l1_weight, cfg.gdl_weight, cfg.vgg_weight, cfg.ssim_weight)
     fn = lambda p, g: rgb_loss_bundle(p, g, *w, vgg_fn=vgg_fn, prefix=prefix)
     if getattr(cfg, "remat", False):
-        fn = jax.checkpoint(fn, prevent_cse=False)
+        import os
+        # DVIE_REMAT_BUNDLE=0 keeps the bundle un-checkpointed under
+        # --remat.  Measured NEUTRAL on both axes at full-res bs2 (1.768
+        # vs 1.767 steps/s, 13.94 vs 13.94 GiB peak): with
+        # prevent_cse=False XLA already CSE's the recompute away, so the
+        # checkpoint neither costs nor saves at that config
+        # (docs/TRAINBENCH_r4.md) — kept for configs where it may bind.
+        if os.environ.get("DVIE_REMAT_BUNDLE", "1") != "0":
+            fn = jax.checkpoint(fn, prevent_cse=False)
     return fn(pred, gt)
 
 
