@@ -672,7 +672,8 @@ def _finish_taps(yt: jnp.ndarray, co: int, b2: jnp.ndarray) -> jnp.ndarray:
 
 def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
                  highres_large: bool, dtype,
-                 spatial_sharded: bool = False
+                 spatial_sharded: bool = False,
+                 explicit_head_bwd: bool = True,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backbone tail + both heads, fused on TPU when shapes allow.
 
@@ -770,7 +771,7 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
             w2t = build_dual_tap_kernel(w2r, w2s, dt)
             co = rgb_head.out_dim + seg_head.out_dim
             yt = pallas_upshead.ups_head_taps_x0f4(
-                x0f4, parts[1], parts[2], w1, b1, w2t)
+                x0f4, parts[1], parts[2], w1, b1, w2t, explicit_head_bwd)
             out = _finish_taps(yt, co, jnp.concatenate([b2r, b2s]))
             return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
         if pallas_upshead.fits(*parts):
@@ -802,7 +803,8 @@ def _apply_heads(run_backbone, rgb_dim: int, seg_dim: int,
                         *parts, w1, b1, w2t, b2)
                     return (out[..., :rgb_head.out_dim],
                             out[..., rgb_head.out_dim:])
-                yt = pallas_upshead.ups_head_taps(*parts, w1, b1, w2t)
+                yt = pallas_upshead.ups_head_taps(*parts, w1, b1, w2t,
+                                                  explicit_head_bwd)
                 out = _finish_taps(yt, co, b2)
                 return out[..., :rgb_head.out_dim], out[..., rgb_head.out_dim:]
             h = pallas_upshead.ups_head_1x1(*parts, w1, b1)
@@ -1045,7 +1047,13 @@ class VAEHRNet(nn.Module):
                                       remat=self.remat,
                                       name="backbone")(x),
             rgb_dim, seg_dim, self.highres_large, self.dtype,
-            spatial_sharded=self.spatial_sharded)
+            spatial_sharded=self.spatial_sharded,
+            # VAE coarse under --remat keeps the autodiff head backward:
+            # the explicit path's h-recompute lifts the full-res GAN
+            # recipe's compiler peak 15.624 -> 15.776 GiB (over budget)
+            # while plain HRNet+remat DROPS 15.742 -> 13.94 with it
+            # (measured r4, docs/TRAINBENCH_r4.md)
+            explicit_head_bwd=not self.remat)
         if self.syn_type == "extra":
             rgb_out = rgb_out[..., :3 * self.num_pred_once]
         return rgb_out, seg_out, mu, logvar

@@ -369,8 +369,8 @@ def _ups_head_taps_ref(p0, p1, p2, w1, b1, w2t):
                       preferred_element_type=h.dtype)
 
 
-@jax.custom_vjp
-def ups_head_taps(p0, p1, p2, w1, b1, w2t):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def ups_head_taps(p0, p1, p2, w1, b1, w2t, explicit_bwd=True):
     """Fused upsample-concat + dual 1x1 + lrelu + taps-in-N matmul.
 
     Same as :func:`ups_head_1x1` followed by ``h @ w2t`` (both heads' 3x3
@@ -378,12 +378,21 @@ def ups_head_taps(p0, p1, p2, w1, b1, w2t):
     but the 2C-lane hidden state never leaves VMEM — only the
     (B, H, W, 9*(Cr+Cs)) tap tensor is written (4.3x less output HBM at
     the HRNet head shape).  Finish with taps_shifted_add + bias.
+
+    ``explicit_bwd`` (static) selects the hand-scheduled backward (see
+    :func:`_explicit_taps_bwd`); pass False to force the
+    jax.vjp-of-reference backward — the VAE coarse under ``--remat``
+    needs it (the explicit path's h-recompute raises the full-res GAN
+    recipe's compiler peak 15.624 -> 15.776 GiB, over the 15.75 budget,
+    while the plain-HRNet remat recipe DROPS 15.742 -> 13.94 with the
+    explicit one; measured r4, docs/TRAINBENCH_r4.md).
     """
     return _pallas_impl(p0, p1, p2, w1, b1, w2t=w2t)
 
 
-def _fwd_taps(p0, p1, p2, w1, b1, w2t):
-    return ups_head_taps(p0, p1, p2, w1, b1, w2t), (p0, p1, p2, w1, b1, w2t)
+def _fwd_taps(p0, p1, p2, w1, b1, w2t, explicit_bwd):
+    return (ups_head_taps(p0, p1, p2, w1, b1, w2t, explicit_bwd),
+            (p0, p1, p2, w1, b1, w2t))
 
 
 def _explicit_taps_bwd(p0, p1, p2, w1, b1, w2t, g):
@@ -451,8 +460,8 @@ def _use_explicit_bwd() -> bool:
     return os.environ.get("DVIE_HEAD_EXPL_BWD", "1") != "0"
 
 
-def _bwd_taps(res, g):
-    if _use_explicit_bwd():
+def _bwd_taps(explicit_bwd, res, g):
+    if explicit_bwd and _use_explicit_bwd():
         return _explicit_taps_bwd(*res, g)
     _, vjp = jax.vjp(_ups_head_taps_ref, *res)
     return vjp(g)
@@ -496,19 +505,20 @@ def _ups_head_taps_x0f4_ref(x0f4, p1, p2, w1, b1, w2t):
     return _ups_head_taps_ref(_unpack_x0f4(x0f4), p1, p2, w1, b1, w2t)
 
 
-@jax.custom_vjp
-def ups_head_taps_x0f4(x0f4, p1, p2, w1, b1, w2t):
-    """``ups_head_taps`` with x0 in the f4-packed form (see above)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def ups_head_taps_x0f4(x0f4, p1, p2, w1, b1, w2t, explicit_bwd=True):
+    """``ups_head_taps`` with x0 in the f4-packed form (see above);
+    ``explicit_bwd`` as in :func:`ups_head_taps`."""
     return _pallas_impl(x0f4, p1, p2, w1, b1, w2t=w2t, x0_f4=True)
 
 
-def _fwd_taps_x0f4(x0f4, p1, p2, w1, b1, w2t):
-    return (ups_head_taps_x0f4(x0f4, p1, p2, w1, b1, w2t),
+def _fwd_taps_x0f4(x0f4, p1, p2, w1, b1, w2t, explicit_bwd):
+    return (ups_head_taps_x0f4(x0f4, p1, p2, w1, b1, w2t, explicit_bwd),
             (x0f4, p1, p2, w1, b1, w2t))
 
 
-def _bwd_taps_x0f4(res, g):
-    if _use_explicit_bwd():
+def _bwd_taps_x0f4(explicit_bwd, res, g):
+    if explicit_bwd and _use_explicit_bwd():
         x0f4, p1, p2, w1, b1, w2t = res
         b, hh, w4, c04 = x0f4.shape
         dp0, dp1, dp2, dw1, db1, dw2t = _explicit_taps_bwd(

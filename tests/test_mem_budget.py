@@ -25,13 +25,19 @@ pytestmark = [pytest.mark.slow]
 
 HBM_BUDGET_GIB = 15.75
 
-# (args, label) — the three full-res --remat recipes TRAINBENCH_r3 proved
-# fit, incl. the full-res extrapolation BPTT rollout
+# (args, label, budget_gib) — the three full-res --remat recipes
+# TRAINBENCH_r3 proved fit, incl. the full-res extrapolation BPTT
+# rollout.  Budgets are per-config pins set just above the r4 measured
+# peaks (inter 13.94 / gan 15.624 / extra 15.073 GiB,
+# docs/TRAINBENCH_r4.md) so a regression is caught well before the
+# 15.75 GiB hardware cliff — the r4 head-backward episode showed a
+# single bwd-schedule change can move a peak by ±1.8 GiB.
 CONFIGS = [
-    (["--bs", "2", "--hw", "512,1024", "--remat"], "inter_bs2"),
-    (["--bs", "1", "--hw", "512,1024", "--remat", "--gan"], "gan_bs1"),
+    (["--bs", "2", "--hw", "512,1024", "--remat"], "inter_bs2", 14.5),
+    (["--bs", "1", "--hw", "512,1024", "--remat", "--gan"], "gan_bs1",
+     15.75),
     (["--bs", "1", "--hw", "512,1024", "--remat", "--extra", "2"],
-     "extra_bs1"),
+     "extra_bs1", 15.4),
 ]
 
 
@@ -68,12 +74,13 @@ def tpu():
         pytest.skip("needs the TPU compiler")
 
 
-@pytest.mark.parametrize("args,label", CONFIGS, ids=[c[1] for c in CONFIGS])
-def test_fullres_train_peak_hbm_under_budget(args, label, tpu):
+@pytest.mark.parametrize("args,label,budget", CONFIGS,
+                         ids=[c[1] for c in CONFIGS])
+def test_fullres_train_peak_hbm_under_budget(args, label, budget, tpu):
     out = subprocess.run(
         [sys.executable, "tools_trainbench.py", "--mem-only", *args],
         capture_output=True, text=True, timeout=1500, env=_tpu_env())
     assert out.returncode == 0, out.stderr[-2000:]
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
-    assert rec["total_gib"] <= HBM_BUDGET_GIB, (label, rec)
+    assert rec["total_gib"] <= min(budget, HBM_BUDGET_GIB), (label, rec)
