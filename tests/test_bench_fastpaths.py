@@ -59,7 +59,11 @@ def test_bench_fast_paths_engage(monkeypatch):
         spy(pallas_ae_conv, "hwnc_fits"),          # HWNC A+E 3x3s
         spy(pallas_fuse0, "fits"),                 # stage fuse-out0
         spy(pallas_fuse0, "fits_hwnc"),            # packed stage2->3 boundary
-        spy(pallas_upshead, "fits"),               # fused upsample+heads
+        # fused upsample+heads: since the r4 f4-x0 default the head
+        # consumes stage-3 out-0 in its producer's f4 block form, so the
+        # gate that must fire at bench shapes is fits_x0f4 (fits is the
+        # NHWC fallback, only consulted when the f4 form doesn't apply)
+        spy(pallas_upshead, "fits_x0f4"),
     ]
 
     h, w, batch = 512, 1024, 8

@@ -65,11 +65,20 @@ def test_extra_vae_gt_width_init(tmp_path):
     """A gt-consuming coarse (VAEHRNet) with num_pred_once=2: the runner
     must initialize it at the train step's gt width (frames 3..4) — a
     one-frame init used to crash the first step on a VAE-encoder kernel
-    shape mismatch."""
+    shape mismatch.
+
+    The CLI cannot spell this combo: the reference's EXTRA parser pins
+    --coarse_model to ['HRNet'] (options/options.py:184-186) and ours
+    mirrors it flag-for-flag (test_options_parity), so the VAE coarse is
+    a LIBRARY-level extra capability — build the Config past the parser.
+    """
+    import dataclasses
+
     cfg = parse_args(
         (BASE + f" --save_dir {tmp_path} --split train --syn_type extra "
-         "--epochs 1 EXTRA --model ExtraNet --coarse_model VAEHRNet "
+         "--epochs 1 EXTRA --model ExtraNet "
          "--train_coarse --num_pred_once 2").split())
+    cfg = dataclasses.replace(cfg, coarse_model="VAEHRNet")
     run(cfg, exp_dir=str(tmp_path / "exp"))
 
 

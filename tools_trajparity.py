@@ -139,23 +139,50 @@ def _install_torch_stubs():
     import torch
     import torch.nn as nn
 
-    if "torchvision" not in sys.modules:
+    # Other parity harnesses (tests/test_*_parity.py loaders) install
+    # their own PARTIAL torchvision stubs — e.g. test_attn_legacy_parity
+    # registers only .models/.utils.  Guarding on the top-level name
+    # alone made this loader skip its own stub and die on the
+    # reference's ``import torchvision.transforms`` when those tests ran
+    # first in the same session, so: keep whatever exists, fill in every
+    # missing submodule/attr individually.
+    tv = sys.modules.get("torchvision")
+    if tv is None:
         tv = types.ModuleType("torchvision")
-        models = types.ModuleType("torchvision.models")
-        models.vgg19 = lambda pretrained=False, **kw: _build_stub_vgg19(torch, nn)
+        sys.modules["torchvision"] = tv
+    models = sys.modules.get("torchvision.models")
+    if models is None:
+        models = getattr(tv, "models", None) or types.ModuleType(
+            "torchvision.models")
+        sys.modules["torchvision.models"] = models
+    # unconditional: another harness's placeholder (e.g. ``lambda: None``)
+    # would crash the reference trainer's VGGLoss construction
+    models.vgg19 = (
+        lambda pretrained=False, **kw: _build_stub_vgg19(torch, nn))
+    transforms = sys.modules.get("torchvision.transforms")
+    if transforms is None:
         transforms = types.ModuleType("torchvision.transforms")
-        for name in ("Compose", "ToTensor", "Normalize", "Resize"):
+        sys.modules["torchvision.transforms"] = transforms
+    for name in ("Compose", "ToTensor", "Normalize", "Resize"):
+        if not hasattr(transforms, name):
             setattr(transforms, name, type(name, (), {"__init__":
                     lambda self, *a, **k: None}))
+    datasets = sys.modules.get("torchvision.datasets")
+    if datasets is None:
         datasets = types.ModuleType("torchvision.datasets")
-        utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision.datasets"] = datasets
+    utils = sys.modules.get("torchvision.utils")
+    if utils is None:
+        utils = getattr(tv, "utils", None) or types.ModuleType(
+            "torchvision.utils")
+        sys.modules["torchvision.utils"] = utils
+    if not hasattr(utils, "make_grid"):
         utils.make_grid = lambda t, *a, **k: (t if hasattr(t, "dim")
                                               else torch.zeros(3, 4, 4))
+    if not hasattr(utils, "save_image"):
         utils.save_image = lambda *a, **k: None
-        tv.models, tv.transforms, tv.datasets, tv.utils = (
-            models, transforms, datasets, utils)
-        for m in (tv, models, transforms, datasets, utils):
-            sys.modules[m.__name__] = m
+    tv.models, tv.transforms, tv.datasets, tv.utils = (
+        models, transforms, datasets, utils)
     if "yacs" not in sys.modules:
         class _CN(dict):
             def __getattr__(self, k):
