@@ -18,10 +18,28 @@ import os
 from typing import Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+
+from jax.flatten_util import ravel_pytree
 
 from deep_video_interpolation_extrapolation_tpu.core.config import Config
 from deep_video_interpolation_extrapolation_tpu.train.state import TrainState
+
+
+def _is_flat_layout(opt_state) -> bool:
+    """True when an optimizer state uses the DVIE_FLAT_OPT raveled layout
+    (moment leaves are single 1-D vectors rather than per-param pytrees).
+
+    Observable from the state itself: any non-scalar leaf of a flat
+    Adamax/Adam state is 1-D, while per-leaf states carry the params'
+    own (2-D/4-D) tensors.  Recorded in the checkpoint payload so a
+    resume under the other DVIE_FLAT_OPT value converts instead of
+    failing at the first tx.update.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(opt_state)
+              if getattr(l, "ndim", 0) > 0]
+    return bool(leaves) and all(l.ndim == 1 for l in leaves)
 
 
 def checkpoint_name(cfg: Config, epoch: int, step: int) -> str:
@@ -44,6 +62,8 @@ def save_checkpoint(cfg: Config, base_dir: str, state: TrainState,
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_states": jax.device_get(state.opt_states),
+        "opt_flat": {name: _is_flat_layout(s)
+                     for name, s in state.opt_states.items()},
         "step": int(state.step),
     }
     ckptr = ocp.PyTreeCheckpointer()
@@ -99,6 +119,48 @@ def _restructure(target, restored):
     return restored
 
 
+def _match_opt_layout(target, restored):
+    """Convert a restored optimizer state between the flat (DVIE_FLAT_OPT)
+    and per-leaf layouts so it matches ``target``'s layout.
+
+    After ``_restructure`` a layout mismatch surfaces as a namedtuple
+    field where one side is a single 1-D vector and the other a pytree of
+    per-param tensors with the same total size; Adamax/Adam/SGD are
+    elementwise, so raveling/unraveling the moments is exact.  A no-op
+    when layouts already agree.
+    """
+    t_container = isinstance(target, (dict, list, tuple))
+    r_container = isinstance(restored, (dict, list, tuple))
+    if not t_container and not r_container:
+        return restored
+    if t_container and not r_container:
+        # flat checkpoint vector -> per-leaf live layout
+        flat_t, unravel = ravel_pytree(target)
+        arr = jnp.asarray(restored) if restored is not None else None
+        if arr is not None and arr.ndim == 1 and arr.size == flat_t.size:
+            return unravel(arr)
+        return restored
+    if not t_container and r_container:
+        # per-leaf checkpoint pytree -> flat live layout
+        flat_r, _ = ravel_pytree(restored)
+        if getattr(target, "ndim", None) == 1 and flat_r.size == target.size:
+            return flat_r.astype(target.dtype)
+        return restored
+    if isinstance(target, tuple) and hasattr(target, "_fields") \
+            and type(restored) is type(target):
+        return type(target)(*[
+            _match_opt_layout(getattr(target, f), getattr(restored, f))
+            for f in target._fields])
+    if isinstance(target, dict) and isinstance(restored, dict):
+        return {k: (_match_opt_layout(target[k], restored[k])
+                    if k in restored else v) for k, v in target.items()}
+    if isinstance(target, (list, tuple)) and isinstance(restored, (list, tuple)) \
+            and len(target) == len(restored):
+        seq = [_match_opt_layout(t, r) for t, r in zip(target, restored)]
+        return tuple(seq) if isinstance(target, tuple) else seq
+    return restored
+
+
 def selective_load(state: TrainState, ckpt, submodels: Optional[Iterable[str]] = None,
                    load_opt: bool = True) -> TrainState:
     """Merge chosen submodel subtrees from ``ckpt`` into ``state``.
@@ -117,8 +179,9 @@ def selective_load(state: TrainState, ckpt, submodels: Optional[Iterable[str]] =
         if ckpt.get("batch_stats") and name in ckpt["batch_stats"]:
             batch_stats[name] = ckpt["batch_stats"][name]
         if load_opt and name in ckpt.get("opt_states", {}) and name in opt_states:
-            opt_states[name] = _restructure(
-                state.opt_states[name], ckpt["opt_states"][name])
+            opt_states[name] = _match_opt_layout(
+                state.opt_states[name],
+                _restructure(state.opt_states[name], ckpt["opt_states"][name]))
     return state.replace(params=params, opt_states=opt_states,
                          batch_stats=batch_stats)
 

@@ -160,10 +160,13 @@ def apply_updates(cfg: Config, state: TrainState, grads: Any,
         tx = make_tx(opt_name, lr)
         if _flat_opt(state.params[name]):
             # one flat streaming update (see _flat_opt); grads share the
-            # params' tree structure, so their unravel maps updates back
+            # params' tree structure, so their unravel maps updates back.
+            # The params are raveled too so params-dependent transforms
+            # (e.g. a future weight-decay term in make_tx) stay correct.
             flat_g, unravel = ravel_pytree(grads[name])
             flat_updates, new_opt = tx.update(
-                flat_g, state.opt_states[name], None)
+                flat_g, state.opt_states[name],
+                ravel_pytree(state.params[name])[0])
             updates = unravel(flat_updates)
         else:
             updates, new_opt = tx.update(

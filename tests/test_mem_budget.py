@@ -35,7 +35,7 @@ HBM_BUDGET_GIB = 15.75
 CONFIGS = [
     (["--bs", "2", "--hw", "512,1024", "--remat"], "inter_bs2", 14.5),
     (["--bs", "1", "--hw", "512,1024", "--remat", "--gan"], "gan_bs1",
-     15.75),
+     15.7),
     (["--bs", "1", "--hw", "512,1024", "--remat", "--extra", "2"],
      "extra_bs1", 15.4),
 ]

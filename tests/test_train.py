@@ -466,3 +466,38 @@ class TestFlatOptimizer:
         # params keep their tree form; only the moments are flat
         assert (jax.tree_util.tree_structure(state2.params)
                 == jax.tree_util.tree_structure(state.params))
+
+    def test_checkpoint_layout_cross_restore(self, tmp_path, monkeypatch):
+        """A checkpoint saved under one DVIE_FLAT_OPT layout must resume
+        under the other: selective_load converts moments by ravel /
+        unravel (train/checkpoint._match_opt_layout) and the resumed
+        trajectory equals training straight through — the elementwise
+        optimizers make the conversion exact."""
+        cfg = _cfg()
+        model = TinyInterNet(cfg)
+        batch = _batch()
+        step = jax.jit(inter_lib.make_train_step(cfg, model))
+
+        monkeypatch.setenv("DVIE_FLAT_OPT", "1")
+        state = _init_state(cfg, model, batch)
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        path = ckpt_lib.save_checkpoint(cfg, str(tmp_path), state,
+                                        epoch=0, step=1)
+        ckpt = ckpt_lib.load_checkpoint(path)
+        assert ckpt["opt_flat"]["coarse_model"] is True
+
+        monkeypatch.setenv("DVIE_FLAT_OPT", "0")
+        fresh = _init_state(cfg, model, batch)
+        merged = ckpt_lib.selective_load(fresh, ckpt)
+        assert (jax.tree_util.tree_structure(merged.opt_states)
+                == jax.tree_util.tree_structure(fresh.opt_states))
+        resumed, _ = step(merged, batch, jax.random.PRNGKey(1))
+
+        # oracle: per-leaf throughout
+        ref = _init_state(cfg, model, batch)
+        ref, _ = step(ref, batch, jax.random.PRNGKey(0))
+        ref, _ = step(ref, batch, jax.random.PRNGKey(1))
+        for a, b in zip(jax.tree_util.tree_leaves(resumed.params),
+                        jax.tree_util.tree_leaves(ref.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)

@@ -161,7 +161,8 @@ def _install_torch_stubs():
         lambda pretrained=False, **kw: _build_stub_vgg19(torch, nn))
     transforms = sys.modules.get("torchvision.transforms")
     if transforms is None:
-        transforms = types.ModuleType("torchvision.transforms")
+        transforms = getattr(tv, "transforms", None) or types.ModuleType(
+            "torchvision.transforms")
         sys.modules["torchvision.transforms"] = transforms
     for name in ("Compose", "ToTensor", "Normalize", "Resize"):
         if not hasattr(transforms, name):
@@ -169,7 +170,8 @@ def _install_torch_stubs():
                     lambda self, *a, **k: None}))
     datasets = sys.modules.get("torchvision.datasets")
     if datasets is None:
-        datasets = types.ModuleType("torchvision.datasets")
+        datasets = getattr(tv, "datasets", None) or types.ModuleType(
+            "torchvision.datasets")
         sys.modules["torchvision.datasets"] = datasets
     utils = sys.modules.get("torchvision.utils")
     if utils is None:
