@@ -458,6 +458,60 @@ def port_video_local_disc(sd, params, batch_stats):
     return _port_disc(sd, params, batch_stats, _VIDEO_LOCAL_DISC_SPEC)
 
 
+# FrameSNDiscriminator Sequential slots (nets/FrameDisc.py:116-148):
+# plain SN convs at layer.{0,2,4,7,10,13}, ResnetSNBlocks at
+# layer.{6,9,12} with SN convs at .conv.{0,2}.  Our traversal order:
+# _Block_0.._Block_2, _ResBlock_0, _Block_3, _ResBlock_1, _Block_4,
+# _ResBlock_2, _Block_5 (models/discriminators.FrameDiscriminator sn=True).
+_FRAME_SN_DISC_SLOTS = [
+    ("_Block_0", "layer.0"), ("_Block_1", "layer.2"),
+    ("_Block_2", "layer.4"),
+    (("_ResBlock_0", "_Block_0"), "layer.6.conv.0"),
+    (("_ResBlock_0", "_Block_1"), "layer.6.conv.2"),
+    ("_Block_3", "layer.7"),
+    (("_ResBlock_1", "_Block_0"), "layer.9.conv.0"),
+    (("_ResBlock_1", "_Block_1"), "layer.9.conv.2"),
+    ("_Block_4", "layer.10"),
+    (("_ResBlock_2", "_Block_0"), "layer.12.conv.0"),
+    (("_ResBlock_2", "_Block_1"), "layer.12.conv.2"),
+    ("_Block_5", "layer.13"),
+]
+
+
+def port_frame_sn_disc(sd: Mapping, params: Dict, batch_stats: Dict):
+    """FrameSNDiscriminator (nets/FrameDisc.py:116-148) with the
+    hand-rolled SpectralNorm wrapper (nets/SpectralNorm.py:14-68).
+
+    SN state mapping: torch stores ``weight_bar`` (raw kernel), ``u``
+    (out-dim iteration vector) and ``v``; with power_iterations=1 the
+    stored ``v`` is overwritten from ``u`` before use, so ``u`` is the
+    only live iteration state.  flax.linen.SpectralNorm keeps ``u`` of
+    shape (1, O) on the (kh*kw*I, O) matrix — the SAME out-dim vector
+    (sigma(W) = sigma(W^T); the contraction-dim permutation between
+    torch's (O, I*kh*kw) view and flax's flatten cancels because v is
+    recomputed from u each call).  ``sigma`` is recomputed every train
+    forward on both sides, so its stored value is not ported.
+    """
+    p = jax.tree_util.tree_map(lambda x: x, params)
+    bs = jax.tree_util.tree_map(lambda x: x, batch_stats)
+    for ours, ref in _FRAME_SN_DISC_SLOTS:
+        path = (ours,) if isinstance(ours, str) else ours
+        node = p
+        bnode = bs
+        for key in path:
+            node = node[key]
+            bnode = bnode.setdefault(key, {})
+        conv = node["_SNConv_0"]["Conv_0"]
+        conv["kernel"] = conv_w(sd, f"{ref}.module.weight_bar")
+        conv["bias"] = vec(sd, f"{ref}.module.bias")
+        sn = bnode.setdefault("_SNConv_0", {}).setdefault(
+            "SpectralNorm_0", {})
+        u = np.asarray(sd[f"{ref}.module.weight_u"]).reshape(1, -1)
+        sn["Conv_0/kernel/u"] = jnp.asarray(u, jnp.float32)
+        sn["Conv_0/kernel/sigma"] = jnp.ones((), jnp.float32)
+    return p, bs
+
+
 def _detect_disc_porter(sd: Mapping):
     """Pick the porter for a frame/video discriminator state_dict by its
     key signature (the checkpoint stores no model name)."""

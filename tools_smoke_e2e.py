@@ -49,11 +49,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 def build_fixture(root: str, n_vids=2, clip_len=30, src=150, interval=3,
                   n_track=4):
-    """Fake-Cityscapes tree + the clip pkl the dataset factory expects."""
+    """Fake-Cityscapes tree + the clip pkl the dataset factory expects.
+
+    ``src`` is the stored frame size: an int for square frames, or an
+    (H, W) tuple — tools_e2ebench uses the dataset's real 512x1024
+    storage size so the host decode cost is the honest one."""
     from PIL import Image
 
     from deep_video_interpolation_extrapolation_tpu.tools import build_clips
 
+    src_h, src_w = (src, src) if isinstance(src, int) else src
     img_root = os.path.join(root, "imgs")
     seg_root = os.path.join(root, "segs")
     rng = np.random.RandomState(0)
@@ -68,13 +73,13 @@ def build_fixture(root: str, n_vids=2, clip_len=30, src=150, interval=3,
             for vid in vids:
                 # static textured background + a square moving linearly:
                 # real temporal structure, so interpolation loss can drop
-                bg = rng.randint(0, 255, (src, src, 3), dtype=np.uint8)
-                sq = max(4, src // 6)
+                bg = rng.randint(0, 255, (src_h, src_w, 3), dtype=np.uint8)
+                sq = max(4, min(src_h, src_w) // 6)
                 tex = rng.randint(0, 255, (sq, sq, 3), dtype=np.uint8)
-                span = src - sq - 1
+                span = min(src_h, src_w) - sq - 1
                 for t in range(clip_len):
                     img = bg.copy()
-                    seg = np.full((src, src), 2, np.uint8)  # building
+                    seg = np.full((src_h, src_w), 2, np.uint8)  # building
                     y = (t * 3) % span
                     x = (t * 2) % span
                     img[y:y + sq, x:x + sq] = tex
