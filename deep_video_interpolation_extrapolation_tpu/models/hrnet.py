@@ -503,6 +503,15 @@ class _HRBackbone(nn.Module):
                                hwnc=True, name="conv2")(x))
             x = _layer1_boundary_chain(x, f, self.dtype, hwnc=True)
             x = jnp.transpose(x, (2, 0, 1, 3))  # back to (B, H, W/f, f*C)
+        elif (not f and _pe() and not self.spatial_sharded
+                and os.environ.get("DVIE_TRAINCHAIN", "1") != "0"
+                and self._trainchain_fits(x)):
+            # small-resolution (train-recipe) path: the whole stem+layer1
+            # chain through the fused fwd+bwd packed kernels — h1/h2 stay
+            # in VMEM in BOTH passes; the backward recomputes them from
+            # the saved block inputs instead of re-streaming HBM
+            # (ops/pallas_trainchain.py; TRAINBENCH_r4's open lever)
+            x = self._trainchain(x)
         else:
             # stem (nets/HRNet.py:367-373)
             x = lrelu(Conv(64, 3, dtype=self.dtype, packed_io=f,
@@ -518,6 +527,34 @@ class _HRBackbone(nn.Module):
                                    spatial_sharded=self.spatial_sharded,
                                    name=f"layer1_{i}")(x)
         return x
+
+    def _trainchain_fits(self, x) -> bool:
+        from deep_video_interpolation_extrapolation_tpu.ops import (
+            pallas_trainchain,
+        )
+        return pallas_trainchain.fits(x, dtype=self.dtype or x.dtype)
+
+    def _trainchain(self, x: jnp.ndarray) -> jnp.ndarray:
+        """stem + layer1 via the fused fwd+bwd packed chain kernels.
+
+        Param names/shapes identical to the unfused path (Conv/Bottleneck
+        return_params pattern, as in _layer1_boundary_chain)."""
+        from deep_video_interpolation_extrapolation_tpu.ops import (
+            pallas_trainchain,
+        )
+        dt = self.dtype or x.dtype
+        cin = x.shape[-1]
+        k1s, b1s = Conv(64, 3, dtype=self.dtype, in_features=cin,
+                        name="conv1")(None, return_params=True)
+        k2s, b2s = Conv(64, 3, dtype=self.dtype, in_features=64,
+                        name="conv2")(None, return_params=True)
+        blocks = []
+        for i in range(4):
+            blocks.append(Bottleneck(
+                64, dtype=self.dtype, in_features=64 if i == 0 else 256,
+                name=f"layer1_{i}")(None, return_params=True))
+        return pallas_trainchain.stem_layer1_chain(
+            x.astype(dt), (k1s, b1s, k2s, b2s), blocks)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

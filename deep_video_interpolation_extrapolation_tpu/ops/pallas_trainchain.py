@@ -1,0 +1,505 @@
+"""Fused fwd+bwd packed kernels for the stem/layer1 train chain.
+
+Target: the 128x128 bs32 training recipe (reference cmd:160-162; train
+step nets/HRNet.py:367-375 stem + 4 Bottlenecks, HRNet.py:47-85), where
+the r4 train-step trace shows the stem+layer1 region at ~43 ms of the
+138 ms step — all of it plain unpacked XLA convs at <=64-channel lane
+utilization, streaming every intermediate activation (h1, h2, block
+outputs) through HBM in both the forward and the backward
+(docs/TRAINBENCH_r4.md names "fused fwd+bwd Pallas chain kernels" as the
+one lever its 44.4%-MFU op-graph roofline leaves open).
+
+Design (TPU-first, not a translation):
+
+- Everything runs width-packed at f=2 (ops/packed_conv.py): the 64-ch
+  planes become 128 MXU lanes, exact math.  Packing/unpacking of
+  activations and weights happens OUTSIDE the kernels as differentiable
+  jnp ops, so the custom_vjp pair operates purely in packed space and
+  JAX's autodiff maps packed weight grads back to logical kernels for
+  free (the packers are linear).
+- At 128x128 one batch element's full spatial plane fits in VMEM
+  ((H, W/2) = (128, 64)), so the grid runs over BATCH ONLY — no halo
+  logic, no tile-boundary double counting for weight grads.  3x3 convs
+  are 9 shifted (m, C)@(C, O) dots with zero-fill SAME borders.
+- Forward kernels write ONLY the block output; h1/h2 never touch HBM.
+- Backward kernels RECOMPUTE h1/h2/pre-activations in VMEM from the
+  saved block input, then produce dx (bf16) and f32-accumulated weight
+  grads in one pass; weight-grad buffers use constant-index BlockSpecs
+  so they stay VMEM-resident across the batch grid and write back once.
+- Weights stream in as f32 (the master dtype) and are cast to the
+  compute dtype in-kernel; weight grads come back f32 — same accuracy
+  story as the r4 explicit head backward (ops/pallas_upshead.py).
+
+Numerics match the XLA composition's rounding: f32-accumulated dots cast
+to the compute dtype at each op boundary, bf16 adds for bias/residual,
+LeakyReLU masks from the recomputed pre-activation signs (lrelu is
+sign-preserving, so post-activation signs are equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DN = (((1,), (0,)), ((), ()))    # (m,K)@(K,N) -> (m,N)
+_DN_T = (((1,), (1,)), ((), ()))  # (m,N)@(K,N) -> (m,K)   (times W^T)
+_DN_W = (((0,), (0,)), ((), ()))  # (m,K),(m,N) -> (K,N)   (weight grad)
+
+_NEG_SLOPE = 0.2
+
+
+def _lrelu(v):
+    # Mosaic rejects bf16 comparisons; compare in f32, select on the value
+    return jnp.where(v.astype(jnp.float32) >= 0,
+                     v, jnp.asarray(_NEG_SLOPE, v.dtype) * v)
+
+
+def _masked(pre, g):
+    """lrelu vjp: d(pre) given upstream g and the pre-activation values."""
+    return jnp.where(pre.astype(jnp.float32) >= 0,
+                     g, jnp.asarray(_NEG_SLOPE, g.dtype) * g)
+
+
+def _shift(a, axis, s):
+    """result[i] = a[i+s] along ``axis`` with zero fill (s in {-1,0,1})."""
+    if s == 0:
+        return a
+    z_shape = list(a.shape)
+    z_shape[axis] = 1
+    z = jnp.zeros(z_shape, a.dtype)
+    if s == 1:
+        return jnp.concatenate(
+            [lax.slice_in_dim(a, 1, None, axis=axis), z], axis)
+    return jnp.concatenate(
+        [z, lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis)], axis)
+
+
+def _conv9(x4, k2):
+    """SAME 3x3 conv as 9 shifted dots; x4 (b,H,W2,C), k2 (3,3,C,O) in the
+    compute dtype.  Returns f32 (m, O)."""
+    b, h, w2, c = x4.shape
+    m = b * h * w2
+    acc = None
+    for ky in range(3):
+        rh = _shift(x4, 1, ky - 1)
+        for kx in range(3):
+            op = _shift(rh, 2, kx - 1).reshape(m, c)
+            d = lax.dot_general(op, k2[ky, kx], _DN,
+                                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    return acc
+
+
+def _conv9_t(g4, k2):
+    """Transpose (input-grad) of _conv9: g4 (b,H,W2,O) -> f32 (m, C)."""
+    b, h, w2, o = g4.shape
+    m = b * h * w2
+    acc = None
+    for ky in range(3):
+        rh = _shift(g4, 1, 1 - ky)
+        for kx in range(3):
+            op = _shift(rh, 2, 1 - kx).reshape(m, o)
+            d = lax.dot_general(op, k2[ky, kx], _DN_T,
+                                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    return acc
+
+
+def _conv9_wgrad(x4, dpre):
+    """Per-tap weight grads: x4 (b,H,W2,C), dpre (m,O) f32-accumulated.
+    Returns (3,3,C,O) f32 stacked."""
+    b, h, w2, c = x4.shape
+    m = b * h * w2
+    dp = dpre.astype(x4.dtype)
+    taps = []
+    for ky in range(3):
+        rh = _shift(x4, 1, ky - 1)
+        row = []
+        for kx in range(3):
+            op = _shift(rh, 2, kx - 1).reshape(m, c)
+            row.append(lax.dot_general(op, dp, _DN_W,
+                                       preferred_element_type=jnp.float32))
+        taps.append(jnp.stack(row))
+    return jnp.stack(taps)
+
+
+def _acc_out(ref, i, val):
+    """First-step assign / later-step accumulate into a constant-index
+    output block (stays VMEM-resident across the batch grid)."""
+    @pl.when(i == 0)
+    def _():
+        ref[...] = val
+
+    @pl.when(i > 0)
+    def _():
+        ref[...] = ref[...] + val
+
+
+# ---------------------------------------------------------------------------
+# Bottleneck block (HRNet.py:47-85): h1 = lrelu(x@K1); h2 = lrelu(3x3(h1));
+# y = lrelu(h2@K3 + (x@Kres | x))
+# ---------------------------------------------------------------------------
+
+
+def _bn_fwd_kernel(x_ref, k1_ref, k2_ref, k3_ref, kres_ref, y_ref, *,
+                   has_res):
+    dt = y_ref.dtype
+    x4 = x_ref[...]
+    b, h, w2, ci = x4.shape
+    m = b * h * w2
+    xf = x4.reshape(m, ci)
+    k1 = k1_ref[...].astype(dt)
+    h1 = _lrelu(lax.dot_general(
+        xf, k1, _DN, preferred_element_type=jnp.float32).astype(dt))
+    h2 = _lrelu(_conv9(h1.reshape(b, h, w2, k1.shape[1]),
+                       k2_ref[...].astype(dt)).astype(dt))
+    out = lax.dot_general(h2, k3_ref[...].astype(dt), _DN,
+                          preferred_element_type=jnp.float32).astype(dt)
+    if has_res:
+        res = lax.dot_general(xf, kres_ref[...].astype(dt), _DN,
+                              preferred_element_type=jnp.float32).astype(dt)
+    else:
+        res = xf
+    y_ref[...] = _lrelu(out + res).reshape(b, h, w2, out.shape[-1])
+
+
+def _bn_bwd_kernel(x_ref, dy_ref, k1_ref, k2_ref, k3_ref, kres_ref,
+                   dx_ref, dk1_ref, dk2_ref, dk3_ref, dkres_ref, *,
+                   has_res):
+    i = pl.program_id(0)
+    dt = dx_ref.dtype
+    x4 = x_ref[...]
+    b, h, w2, ci = x4.shape
+    m = b * h * w2
+    xf = x4.reshape(m, ci)
+    k1 = k1_ref[...].astype(dt)
+    k2 = k2_ref[...].astype(dt)
+    k3 = k3_ref[...].astype(dt)
+    cp = k1.shape[1]
+
+    # recompute the forward in VMEM (identical rounding to _bn_fwd_kernel)
+    h1 = _lrelu(lax.dot_general(
+        xf, k1, _DN, preferred_element_type=jnp.float32).astype(dt))
+    h1_4 = h1.reshape(b, h, w2, cp)
+    h2 = _lrelu(_conv9(h1_4, k2).astype(dt))
+    out = lax.dot_general(h2, k3, _DN,
+                          preferred_element_type=jnp.float32).astype(dt)
+    if has_res:
+        res = lax.dot_general(xf, kres_ref[...].astype(dt), _DN,
+                              preferred_element_type=jnp.float32).astype(dt)
+    else:
+        res = xf
+    pre_y = out + res
+
+    dy = dy_ref[...].reshape(m, pre_y.shape[-1])
+    dpre_y = _masked(pre_y, dy)
+    _acc_out(dk3_ref, i, lax.dot_general(
+        h2, dpre_y, _DN_W, preferred_element_type=jnp.float32))
+    dh2 = lax.dot_general(dpre_y, k3, _DN_T,
+                          preferred_element_type=jnp.float32).astype(dt)
+    dpre2 = _masked(h2, dh2)
+    dpre2_4 = dpre2.reshape(b, h, w2, cp)
+    _acc_out(dk2_ref, i, _conv9_wgrad(h1_4, dpre2.astype(jnp.float32)))
+    dh1 = _conv9_t(dpre2_4, k2).astype(dt)
+    dpre1 = _masked(h1, dh1)
+    _acc_out(dk1_ref, i, lax.dot_general(
+        xf, dpre1, _DN_W, preferred_element_type=jnp.float32))
+    dx = lax.dot_general(dpre1, k1, _DN_T,
+                         preferred_element_type=jnp.float32)
+    if has_res:
+        kres = kres_ref[...].astype(dt)
+        _acc_out(dkres_ref, i, lax.dot_general(
+            xf, dpre_y, _DN_W, preferred_element_type=jnp.float32))
+        dx = dx + lax.dot_general(dpre_y, kres, _DN_T,
+                                  preferred_element_type=jnp.float32)
+    else:
+        dx = dx + dpre_y.astype(jnp.float32)
+    dx_ref[...] = dx.astype(dt).reshape(b, h, w2, ci)
+
+
+def _pick_bt(batch: int, h: int, w2: int, ci: int, co: int,
+             esz: int = 2) -> int:
+    """Largest batch tile whose bwd working set fits the VMEM budget."""
+    env = os.environ.get("DVIE_TRAINCHAIN_BT")
+    budget = 112 * 2**20
+    plane = h * w2 * esz
+    for bt in ([int(env)] if env else []) + [8, 4, 2, 1]:
+        if bt <= 0 or batch % bt:
+            continue
+        streams = 2 * bt * plane * (2 * ci + co)        # x, dx dbuf + dy
+        transients = bt * plane * (2 * 128 * esz + co * esz + 512 * 4)
+        if streams + transients < budget:
+            return bt
+    return 0
+
+
+def fits(x: jnp.ndarray, f: int = 2, dtype=None) -> bool:
+    """Eligibility for the packed train-chain kernels: packed plane per
+    batch element must fit VMEM (true at 128x128; false at 512x1024,
+    which keeps the existing HWNC inference chain).
+
+    ``dtype`` is the COMPUTE dtype the chain will run in (the carrier
+    ``x`` may still be f32 before the in-chain cast — sizing on it
+    would double the VMEM estimate and wrongly reject bf16 runs)."""
+    if x.ndim != 4 or x.shape[2] % f:
+        return False
+    b, h, w, _ = x.shape
+    w2 = w // f
+    return (w2 % 8 == 0 and h >= 8
+            and _pick_bt(b, h, w2, 512, 512,
+                         jnp.dtype(dtype or x.dtype).itemsize) > 0)
+
+
+def _bn_specs(bt, h, w2, shapes, const_shapes):
+    def tile(c):
+        return pl.BlockSpec((bt, h, w2, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+    return tile, const
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def packed_bottleneck(xp, k1p, k2p, k3p, kresp, interpret=False):
+    """One packed Bottleneck: xp (B,H,W2,fCi) compute-dtype; k1p (fCi,fP),
+    k2p (3,3,fP,fP), k3p (fP,fCo), kresp (fCi,fCo)|None — all f32 packed
+    (pack_kernel_* applied outside, differentiable)."""
+    return _bn_fwd_impl(xp, k1p, k2p, k3p, kresp, interpret)
+
+
+def _bn_fwd_impl(xp, k1p, k2p, k3p, kresp, interpret):
+    b, h, w2, ci = xp.shape
+    co = k3p.shape[-1]
+    dt = xp.dtype
+    bt = _pick_bt(b, h, w2, ci, co, jnp.dtype(dt).itemsize)
+    has_res = kresp is not None
+    kres_in = kresp if has_res else jnp.zeros((ci, co), k3p.dtype)
+    tile, _ = _bn_specs(bt, h, w2, None, None)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    return pl.pallas_call(
+        functools.partial(_bn_fwd_kernel, has_res=has_res),
+        grid=(b // bt,),
+        in_specs=[tile(ci), w_spec, w_spec, w_spec, w_spec],
+        out_specs=tile(co),
+        out_shape=jax.ShapeDtypeStruct((b, h, w2, co), dt),
+        interpret=interpret,
+        **kwargs,
+    )(xp, k1p, k2p, k3p, kres_in)
+
+
+def _bn_vjp_fwd(xp, k1p, k2p, k3p, kresp, interpret):
+    return (_bn_fwd_impl(xp, k1p, k2p, k3p, kresp, interpret),
+            (xp, k1p, k2p, k3p, kresp))
+
+
+def _bn_vjp_bwd(interpret, res, dy):
+    xp, k1p, k2p, k3p, kresp = res
+    b, h, w2, ci = xp.shape
+    co = k3p.shape[-1]
+    cp = k1p.shape[-1]
+    dt = xp.dtype
+    bt = _pick_bt(b, h, w2, ci, co, jnp.dtype(dt).itemsize)
+    has_res = kresp is not None
+    kres_in = kresp if has_res else jnp.zeros((ci, co), k3p.dtype)
+    tile, const = _bn_specs(bt, h, w2, None, None)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_specs = (tile(ci), const((ci, cp)), const((3, 3, cp, cp)),
+                 const((cp, co)), const((ci, co)))
+    out_shape = (jax.ShapeDtypeStruct((b, h, w2, ci), dt),
+                 jax.ShapeDtypeStruct((ci, cp), jnp.float32),
+                 jax.ShapeDtypeStruct((3, 3, cp, cp), jnp.float32),
+                 jax.ShapeDtypeStruct((cp, co), jnp.float32),
+                 jax.ShapeDtypeStruct((ci, co), jnp.float32))
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    dx, dk1, dk2, dk3, dkres = pl.pallas_call(
+        functools.partial(_bn_bwd_kernel, has_res=has_res),
+        grid=(b // bt,),
+        in_specs=[tile(ci), tile(co), w_spec, w_spec, w_spec, w_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        **kwargs,
+    )(xp, dy, k1p, k2p, k3p, kres_in)
+    dk1 = dk1.astype(k1p.dtype)
+    dk2 = dk2.astype(k2p.dtype)
+    dk3 = dk3.astype(k3p.dtype)
+    dkres = dkres.astype(k3p.dtype) if has_res else None
+    return dx, dk1, dk2, dk3, dkres
+
+
+packed_bottleneck.defvjp(_bn_vjp_fwd, _bn_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stem: s1 = lrelu(3x3(x) + b1); s2 = lrelu(3x3(s1) + b2)
+# (nets/HRNet.py:367-373, biased convs)
+# ---------------------------------------------------------------------------
+
+
+def _stem_fwd_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, s2_ref):
+    dt = s2_ref.dtype
+    x4 = x_ref[...]
+    b, h, w2, ci = x4.shape
+    cp = k1_ref.shape[-1]
+    s1 = _lrelu(_conv9(x4, k1_ref[...].astype(dt)).astype(dt)
+                + b1_ref[...].astype(dt))
+    pre2 = (_conv9(s1.reshape(b, h, w2, cp), k2_ref[...].astype(dt))
+            .astype(dt) + b2_ref[...].astype(dt))
+    s2_ref[...] = _lrelu(pre2).reshape(b, h, w2, cp)
+
+
+def _stem_bwd_kernel(x_ref, dy_ref, k1_ref, b1_ref, k2_ref, b2_ref,
+                     dx_ref, dk1_ref, db1_ref, dk2_ref, db2_ref):
+    i = pl.program_id(0)
+    dt = dx_ref.dtype
+    x4 = x_ref[...]
+    b, h, w2, ci = x4.shape
+    m = b * h * w2
+    k1 = k1_ref[...].astype(dt)
+    k2 = k2_ref[...].astype(dt)
+    cp = k1.shape[-1]
+
+    pre1 = (_conv9(x4, k1).astype(dt)
+            + b1_ref[...].astype(dt))
+    s1 = _lrelu(pre1)
+    s1_4 = s1.reshape(b, h, w2, cp)
+    pre2 = _conv9(s1_4, k2).astype(dt) + b2_ref[...].astype(dt)
+
+    dy = dy_ref[...].reshape(m, cp)
+    dpre2 = _masked(pre2, dy)
+    _acc_out(db2_ref, i, jnp.sum(dpre2.astype(jnp.float32), axis=0,
+                                 keepdims=True))
+    _acc_out(dk2_ref, i, _conv9_wgrad(s1_4, dpre2.astype(jnp.float32)))
+    ds1 = _conv9_t(dpre2.reshape(b, h, w2, cp), k2).astype(dt)
+    dpre1 = _masked(pre1, ds1)
+    _acc_out(db1_ref, i, jnp.sum(dpre1.astype(jnp.float32), axis=0,
+                                 keepdims=True))
+    _acc_out(dk1_ref, i, _conv9_wgrad(x4, dpre1.astype(jnp.float32)))
+    dx = _conv9_t(dpre1.reshape(b, h, w2, cp), k1)
+    dx_ref[...] = dx.astype(dt).reshape(b, h, w2, ci)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def packed_stem(xp, k1p, b1p, k2p, b2p, interpret=False):
+    """Both stem convs in one pass; xp (B,H,W2,fCi) compute dtype, packed
+    f32 weights/biases (b*p shaped (1, fP))."""
+    return _stem_fwd_impl(xp, k1p, b1p, k2p, b2p, interpret)
+
+
+def _stem_fwd_impl(xp, k1p, b1p, k2p, b2p, interpret):
+    b, h, w2, ci = xp.shape
+    cp = k1p.shape[-1]
+    dt = xp.dtype
+    bt = _pick_bt(b, h, w2, ci, cp, jnp.dtype(dt).itemsize)
+    tile, _ = _bn_specs(bt, h, w2, None, None)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    return pl.pallas_call(
+        _stem_fwd_kernel,
+        grid=(b // bt,),
+        in_specs=[tile(ci)] + [w_spec] * 4,
+        out_specs=tile(cp),
+        out_shape=jax.ShapeDtypeStruct((b, h, w2, cp), dt),
+        interpret=interpret,
+        **kwargs,
+    )(xp, k1p, b1p, k2p, b2p)
+
+
+def _stem_vjp_fwd(xp, k1p, b1p, k2p, b2p, interpret):
+    return (_stem_fwd_impl(xp, k1p, b1p, k2p, b2p, interpret),
+            (xp, k1p, b1p, k2p, b2p))
+
+
+def _stem_vjp_bwd(interpret, res, dy):
+    xp, k1p, b1p, k2p, b2p = res
+    b, h, w2, ci = xp.shape
+    cp = k1p.shape[-1]
+    dt = xp.dtype
+    bt = _pick_bt(b, h, w2, ci, cp, jnp.dtype(dt).itemsize)
+    tile, const = _bn_specs(bt, h, w2, None, None)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    dx, dk1, db1, dk2, db2 = pl.pallas_call(
+        _stem_bwd_kernel,
+        grid=(b // bt,),
+        in_specs=[tile(ci), tile(cp)] + [w_spec] * 4,
+        out_specs=(tile(ci), const((3, 3, ci, cp)), const((1, cp)),
+                   const((3, 3, cp, cp)), const((1, cp))),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w2, ci), dt),
+                   jax.ShapeDtypeStruct((3, 3, ci, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((3, 3, cp, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((1, cp), jnp.float32)),
+        interpret=interpret,
+        **kwargs,
+    )(xp, dy, k1p, b1p, k2p, b2p)
+    return (dx, dk1.astype(k1p.dtype), db1.astype(b1p.dtype),
+            dk2.astype(k2p.dtype), db2.astype(b2p.dtype))
+
+
+packed_stem.defvjp(_stem_vjp_fwd, _stem_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# chain assembly (logical <-> packed mapping outside the kernels)
+# ---------------------------------------------------------------------------
+
+
+def stem_layer1_chain(x, stem_params, block_params, f: int = 2,
+                      interpret: bool = False):
+    """x (B,H,W,Ci) compute dtype; stem_params = (k1, b1, k2, b2) logical
+    f32; block_params = [(k1, k2, k3, kres|None), ...] logical f32.
+    Returns the layer1 output (B,H,W,Co) in the compute dtype.
+
+    The packers are plain jnp (differentiable); the custom_vjp kernels see
+    only packed operands, so logical weight grads fall out of autodiff.
+    """
+    from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+        pack_kernel_1x1,
+        pack_kernel_3x3,
+        pack_w,
+        unpack_w,
+    )
+
+    k1s, b1s, k2s, b2s = stem_params
+    xp = pack_w(x, f)
+    xp = packed_stem(
+        xp,
+        pack_kernel_3x3(k1s, f),
+        jnp.tile(b1s, f)[None],
+        pack_kernel_3x3(k2s, f),
+        jnp.tile(b2s, f)[None],
+        interpret,
+    )
+    for (k1, k2, k3, kres) in block_params:
+        xp = packed_bottleneck(
+            xp,
+            pack_kernel_1x1(k1, f)[0, 0],
+            pack_kernel_3x3(k2, f),
+            pack_kernel_1x1(k3, f)[0, 0],
+            pack_kernel_1x1(kres, f)[0, 0] if kres is not None else None,
+            interpret,
+        )
+    return unpack_w(xp, f)
