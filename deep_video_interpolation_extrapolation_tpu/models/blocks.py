@@ -283,7 +283,17 @@ class BasicBlock(nn.Module):
     spatial_sharded: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_params: bool = False):
+        if return_params:
+            # raw kernels for fused chain kernels (pallas_trainchain
+            # bb_chain); Conv auto-names (Conv_0/Conv_1) match the
+            # compute path so checkpoints interchange
+            assert self.stride == 1
+            k1, _ = Conv(self.features, 3, use_bias=False, dtype=self.dtype,
+                         in_features=self.features)(None, return_params=True)
+            k2, _ = Conv(self.features, 3, use_bias=False, dtype=self.dtype,
+                         in_features=self.features)(None, return_params=True)
+            return k1, k2
         if self.packed_io:
             import os
 

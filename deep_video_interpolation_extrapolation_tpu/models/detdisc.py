@@ -315,9 +315,9 @@ class VideoVecSNDetDiscriminator(_VideoDetBase):
         feat = p.reshape(b * t * 3, -1)
         feat = nn.Dense(1024, dtype=self.dtype)(feat)
         group = feat.reshape(b * t, 3 * 1024)
-        h = lrelu(nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(
+        h = lrelu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(
             nn.Dense(512, dtype=self.dtype)(group)))
-        h = lrelu(nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(
+        h = lrelu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(
             nn.Dense(64, dtype=self.dtype)(h)))
         s = nn.Dense(1, dtype=self.dtype)(h)
         return _track_mean(s[:, 0], b, t)

@@ -63,7 +63,7 @@ class _Block(nn.Module):
         else:
             x = Conv(self.features, self.kernel, self.stride, dtype=self.dtype)(x)
         if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         if self.act:
             x = lrelu(x)
         return x

@@ -68,7 +68,7 @@ class _RNBottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(h):
-            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         out_ch = self.planes * 4
         residual = x
         h = nn.relu(bn(nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)))
@@ -90,7 +90,7 @@ class ResNet101Features(nn.Module):
     def __call__(self, x, train: bool = False):
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         stages = []

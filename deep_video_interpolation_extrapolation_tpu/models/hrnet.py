@@ -149,10 +149,44 @@ class HighResolutionModule(nn.Module):
                 and _jax.default_backend() == "tpu")
             if packable and not pre_packed:
                 h = pack_w(h, 2)
-            for _ in range(self.num_blocks[i]):
-                h = BasicBlock(self.num_channels[i], dtype=self.dtype,
-                               packed_io=2 if packable else 0,
-                               spatial_sharded=self.spatial_sharded)(h)
+            # fused fwd+bwd branch-chain kernels (ops/pallas_trainchain):
+            # the whole N-block chain in one kernel per pass — block
+            # interiors never touch HBM; the backward recomputes them in
+            # VMEM from the saved chain input.  Small-res (train-recipe)
+            # shapes only (bb_fits); the 512x1024 inference path keeps
+            # its proven per-conv A+E kernels.
+            import os as _os
+
+            from deep_video_interpolation_extrapolation_tpu.core.hw import (
+                pallas_enabled as _pe_hrm,
+            )
+            use_bbchain = False
+            if (not self.spatial_sharded and _pe_hrm()
+                    and _os.environ.get("DVIE_TRAINCHAIN", "1") != "0"
+                    and (packable or self.num_channels[i] == h.shape[-1])):
+                from deep_video_interpolation_extrapolation_tpu.ops import (
+                    pallas_trainchain as _tcn,
+                )
+                use_bbchain = _tcn.bb_fits(
+                    h, self.num_blocks[i], dtype=self.dtype or h.dtype)
+            if use_bbchain:
+                from deep_video_interpolation_extrapolation_tpu.ops import (
+                    pallas_trainchain as _tcn,
+                )
+                pairs = [BasicBlock(self.num_channels[i], dtype=self.dtype,
+                                    spatial_sharded=self.spatial_sharded)(
+                             None, return_params=True)
+                         for _ in range(self.num_blocks[i])]
+                h = h.astype(self.dtype or h.dtype)
+                if packable:
+                    h = _tcn.bb_chain_packed(h, pairs)
+                else:
+                    h = _tcn.bb_chain_nhwc(h, pairs, f=1)
+            else:
+                for _ in range(self.num_blocks[i]):
+                    h = BasicBlock(self.num_channels[i], dtype=self.dtype,
+                                   packed_io=2 if packable else 0,
+                                   spatial_sharded=self.spatial_sharded)(h)
             if i == 0:
                 y0_packed = packable
                 if packable and not self.keep_packed_out0:
@@ -1103,7 +1137,7 @@ class _VAEEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(h):
-            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
 
         x = lrelu(Conv(32, 3, dtype=self.dtype)(x))
         x = lrelu(bn(Conv(32, 3, dtype=self.dtype)(x)))
@@ -1125,7 +1159,7 @@ class _VAEDecoder(nn.Module):
     @nn.compact
     def __call__(self, z, train: bool = True):
         def bn(h):
-            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
 
         x = z
         for i in range(4):

@@ -36,7 +36,7 @@ class NLayerDiscriminator(nn.Module):
         h = x
         for ch, k, s in plan:
             h = Conv(ch, k, s, dtype=self.dtype)(h)
-            h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
             h = lrelu(h)
             feats.append(h)
         h = Conv(1, 3, dtype=self.dtype)(h)
@@ -87,7 +87,7 @@ class MotionDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(h):
-            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         h = lrelu(bn(Conv(self.ndf, 3, dtype=self.dtype)(x)))
         h = lrelu(bn(Conv(self.ndf, 3, stride=2, dtype=self.dtype)(h)))
         h = lrelu(bn(Conv(self.ndf, 3, dtype=self.dtype)(h)))

@@ -30,7 +30,7 @@ class SegEncoderBN(nn.Module):
     @nn.compact
     def __call__(self, seg, train: bool = True):
         def bn(h):
-            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         x = lrelu(bn(Conv(32, 3, dtype=self.dtype)(seg)))
         x = lrelu(bn(Conv(32, 3, dtype=self.dtype)(x)))
         return Conv(self.out_dim, 3, dtype=self.dtype)(x)
@@ -48,7 +48,7 @@ class FlowEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         def bn(h):
-            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         h = lrelu(Conv(64, 5, stride=2, use_bias=False, dtype=self.dtype)(x))
         h = lrelu(bn(Conv(64, 5, stride=2, use_bias=False, dtype=self.dtype)(h)))
         h = lrelu(bn(Conv(64, 3, use_bias=False, dtype=self.dtype)(h)))
@@ -71,7 +71,7 @@ class GateConv3d(nn.Module):
     def __call__(self, x, train: bool = True):
         h = nn.Conv(self.features, kernel_size=(3, 3, 3), padding="SAME",
                     dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         return lrelu(h)
 
 
@@ -86,7 +86,7 @@ class ConvBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         h = Conv(self.features, self.kernel, self.stride, use_bias=False,
                  dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         return lrelu(h)
 
 
@@ -226,7 +226,7 @@ class VGGLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         h = Conv(self.features, 3, dtype=self.dtype)(x)
-        h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h)
         return lrelu(h)
 
 
@@ -258,7 +258,7 @@ class LegacyEncoder(nn.Module):
         k = (h6.shape[1], h6.shape[2])
         h6 = nn.Conv(self.dim, kernel_size=k, padding="VALID",
                      dtype=self.dtype)(h6)
-        h6 = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(h6)
+        h6 = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(h6)
         return jnp.tanh(h6), [h1, h2, h3, h4, h5]
 
 
@@ -272,7 +272,7 @@ class LegacyDecoder(nn.Module):
         vec, skips = code_and_skips
         h1, h2, h3, h4, h5 = skips
         up4 = (h5.shape[1], h5.shape[2])
-        d1 = lrelu(nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(
+        d1 = lrelu(nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(
             nn.ConvTranspose(512, kernel_size=(4, 4), padding="VALID",
                              dtype=self.dtype)(vec)))
         d1 = interpolate_bilinear(d1, size=up4, align_corners=False)

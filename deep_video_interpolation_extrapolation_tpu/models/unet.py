@@ -31,7 +31,7 @@ class DoubleConv(nn.Module):
     def __call__(self, x, train: bool = True):
         for _ in range(2):
             x = Conv(self.features, 3, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
             x = lrelu(x)
         return x
 
@@ -44,7 +44,7 @@ class Down(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = Conv(self.features, 3, stride=2, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
         x = lrelu(x)
         return DoubleConv(self.features, dtype=self.dtype)(x, train=train)
 

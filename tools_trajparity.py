@@ -820,17 +820,42 @@ def compare_final_params(variant, final_sd, our_state):
 
     def rel_l2(name, ported, ours):
         num = den = 0.0
-        worst = 0.0
-        for a, b in zip(jax.tree_util.tree_leaves(ported),
-                        jax.tree_util.tree_leaves(ours)):
+        rows = []
+        flat_p = jax.tree_util.tree_flatten_with_path(ported)[0]
+        flat_o = jax.tree_util.tree_leaves(ours)
+        for (path, a), b in zip(flat_p, flat_o):
             a = np.asarray(a, np.float64)
             b = np.asarray(b, np.float64)
             num += float(((a - b) ** 2).sum())
             den += float((a ** 2).sum())
             scale = max(np.abs(a).max(), 1e-8)
-            worst = max(worst, float(np.abs(a - b).max() / scale))
+            leaf_rel_l2 = float(np.sqrt(
+                ((a - b) ** 2).sum() / max((a ** 2).sum(), 1e-30)))
+            rows.append((float(np.abs(a - b).max() / scale), leaf_rel_l2,
+                         "/".join(str(getattr(p, "key", p)) for p in path)))
+        rows.sort(reverse=True)
+        # BatchNorm scale/bias have STRUCTURALLY near-zero gradients (a
+        # constant shift/scale into the next layer's BN is re-normalized
+        # away, the lrelu between leaving only a residue): Adamax's
+        # sign-normalized updates turn cross-framework f32 noise on them
+        # into full-lr steps in arbitrary directions.  Report the
+        # aggregate with and without them.
+        num_ex = den_ex = 0.0
+        for (path, a), b in zip(flat_p, flat_o):
+            pstr = "/".join(str(getattr(p, "key", p)) for p in path)
+            if "BatchNorm" in pstr:
+                continue
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            num_ex += float(((a - b) ** 2).sum())
+            den_ex += float((a ** 2).sum())
         out[name] = {"rel_l2": float(np.sqrt(num / max(den, 1e-30))),
-                     "worst_leaf_maxrel": worst}
+                     "rel_l2_ex_bn": float(np.sqrt(
+                         num_ex / max(den_ex, 1e-30))),
+                     "worst_leaf_maxrel": rows[0][0] if rows else 0.0,
+                     "worst_leaves": [
+                         {"leaf": r[2], "maxrel": round(r[0], 5),
+                          "rel_l2": round(r[1], 5)} for r in rows[:6]]}
 
     p = jax.device_get(our_state.params)
     bs = jax.device_get(our_state.batch_stats or {})
