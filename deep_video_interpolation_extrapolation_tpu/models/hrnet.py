@@ -161,7 +161,12 @@ class HighResolutionModule(nn.Module):
                 pallas_enabled as _pe_hrm,
             )
             use_bbchain = False
-            if (not self.spatial_sharded and _pe_hrm()
+            # DVIE_BBCHAIN: all | b0 (packed branch 0 only) | rest | 0
+            _bbmode = _os.environ.get("DVIE_BBCHAIN", "all")
+            _bb_allowed = (_bbmode == "all"
+                           or (_bbmode == "b0" and packable)
+                           or (_bbmode == "rest" and not packable))
+            if (_bb_allowed and not self.spatial_sharded and _pe_hrm()
                     and _os.environ.get("DVIE_TRAINCHAIN", "1") != "0"
                     and (packable or self.num_channels[i] == h.shape[-1])):
                 from deep_video_interpolation_extrapolation_tpu.ops import (

@@ -96,6 +96,87 @@ def _conv9(x4, k2):
     return acc
 
 
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+
+
+def _conv9_ae(x4, k2):
+    """A+E form of _conv9 for pack_kernel_3x3-structured square taps
+    (6 (C,C) dots instead of 9 — the dense-packed form spends 2x logical
+    FLOPs on structured zeros; see ops/pallas_ae_conv.py).  Exact ONLY
+    for packed kernels (disjoint nonzero blocks in taps 0/2)."""
+    b, h, w2, c = x4.shape
+    m = b * h * w2
+    lane = _lane_iota((1, 1, 1, c))
+    acc = None
+    for ky in range(3):
+        rows = _shift(x4, 1, ky - 1)
+        d = lax.dot_general(rows.reshape(m, c), k2[ky, 1], _DN,
+                            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+        msel = jnp.where(lane >= c // 2, _shift(rows, 2, -1),
+                         _shift(rows, 2, 1))
+        acc = acc + lax.dot_general(
+            msel.reshape(m, c), k2[ky, 0] + k2[ky, 2], _DN,
+            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _conv9_ae_t(g4, k2):
+    """Input-grad of _conv9_ae: invert the lane-select/shift composition
+    (upper-lane dmsel came from rows[w-1] -> scatter back at w+1; lower
+    from rows[w+1] -> back at w-1), then the H-unshift per tap row."""
+    b, h, w2, co = g4.shape
+    ci = k2.shape[2]
+    m = b * h * w2
+    lane = _lane_iota((1, 1, 1, ci))
+    acc = None
+    for ky in range(3):
+        q = _shift(g4, 1, 1 - ky)
+        qf = q.reshape(m, co)
+        d = lax.dot_general(qf, k2[ky, 1], _DN_T,
+                            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+        dmsel = lax.dot_general(
+            qf, k2[ky, 0] + k2[ky, 2], _DN_T,
+            preferred_element_type=jnp.float32).reshape(b, h, w2, ci)
+        up = jnp.where(lane >= ci // 2, dmsel, 0.0)
+        lo = jnp.where(lane < ci // 2, dmsel, 0.0)
+        acc = acc + (_shift(up, 2, 1) + _shift(lo, 2, -1)).reshape(m, ci)
+    return acc
+
+
+def _conv9_ae_wgrad(x4, dpre):
+    """Weight grads in A+E form: dA -> tap 1, dE -> taps 0 AND 2 (their
+    logical coefficients live at disjoint packed positions, so the
+    pack_kernel_3x3 vjp outside selects each from its one home)."""
+    b, h, w2, c = x4.shape
+    m = b * h * w2
+    dp = dpre.astype(x4.dtype)
+    lane = _lane_iota((1, 1, 1, c))
+    taps = []
+    for ky in range(3):
+        rows = _shift(x4, 1, ky - 1)
+        da = lax.dot_general(rows.reshape(m, c), dp, _DN_W,
+                             preferred_element_type=jnp.float32)
+        msel = jnp.where(lane >= c // 2, _shift(rows, 2, -1),
+                         _shift(rows, 2, 1))
+        de = lax.dot_general(msel.reshape(m, c), dp, _DN_W,
+                             preferred_element_type=jnp.float32)
+        taps.append(jnp.stack([de, da, de]))
+    return jnp.stack(taps)
+
+
+def _ae_ok(k2_shape, packed: bool = True) -> bool:
+    """A+E applies ONLY to pack_kernel_3x3-structured taps (``packed`` —
+    an arbitrary dense 3x3 kernel would lose its cross-cell terms), and
+    only square even-lane ones (the stem conv1's 28-lane taps stay on
+    the dense path)."""
+    return (packed and k2_shape[2] == k2_shape[3] and k2_shape[2] % 2 == 0
+            and k2_shape[2] >= 128
+            and os.environ.get("DVIE_TRAINCHAIN_AE", "1") != "0")
+
+
 def _conv9_t(g4, k2):
     """Transpose (input-grad) of _conv9: g4 (b,H,W2,O) -> f32 (m, C)."""
     b, h, w2, o = g4.shape
@@ -129,6 +210,21 @@ def _conv9_wgrad(x4, dpre):
     return jnp.stack(taps)
 
 
+def _conv3x3(x4, k2, packed: bool = True):
+    return (_conv9_ae(x4, k2) if _ae_ok(k2.shape, packed)
+            else _conv9(x4, k2))
+
+
+def _conv3x3_t(g4, k2, packed: bool = True):
+    return (_conv9_ae_t(g4, k2) if _ae_ok(k2.shape, packed)
+            else _conv9_t(g4, k2))
+
+
+def _conv3x3_wgrad(x4, dpre, k2, packed: bool = True):
+    return (_conv9_ae_wgrad(x4, dpre) if _ae_ok(k2.shape, packed)
+            else _conv9_wgrad(x4, dpre))
+
+
 def _acc_out(ref, i, val):
     """First-step assign / later-step accumulate into a constant-index
     output block (stays VMEM-resident across the batch grid)."""
@@ -157,8 +253,8 @@ def _bn_fwd_kernel(x_ref, k1_ref, k2_ref, k3_ref, kres_ref, y_ref, *,
     k1 = k1_ref[...].astype(dt)
     h1 = _lrelu(lax.dot_general(
         xf, k1, _DN, preferred_element_type=jnp.float32).astype(dt))
-    h2 = _lrelu(_conv9(h1.reshape(b, h, w2, k1.shape[1]),
-                       k2_ref[...].astype(dt)).astype(dt))
+    h2 = _lrelu(_conv3x3(h1.reshape(b, h, w2, k1.shape[1]),
+                         k2_ref[...].astype(dt)).astype(dt))
     out = lax.dot_general(h2, k3_ref[...].astype(dt), _DN,
                           preferred_element_type=jnp.float32).astype(dt)
     if has_res:
@@ -187,7 +283,7 @@ def _bn_bwd_kernel(x_ref, dy_ref, k1_ref, k2_ref, k3_ref, kres_ref,
     h1 = _lrelu(lax.dot_general(
         xf, k1, _DN, preferred_element_type=jnp.float32).astype(dt))
     h1_4 = h1.reshape(b, h, w2, cp)
-    h2 = _lrelu(_conv9(h1_4, k2).astype(dt))
+    h2 = _lrelu(_conv3x3(h1_4, k2).astype(dt))
     out = lax.dot_general(h2, k3, _DN,
                           preferred_element_type=jnp.float32).astype(dt)
     if has_res:
@@ -205,8 +301,8 @@ def _bn_bwd_kernel(x_ref, dy_ref, k1_ref, k2_ref, k3_ref, kres_ref,
                           preferred_element_type=jnp.float32).astype(dt)
     dpre2 = _masked(h2, dh2)
     dpre2_4 = dpre2.reshape(b, h, w2, cp)
-    _acc_out(dk2_ref, i, _conv9_wgrad(h1_4, dpre2.astype(jnp.float32)))
-    dh1 = _conv9_t(dpre2_4, k2).astype(dt)
+    _acc_out(dk2_ref, i, _conv3x3_wgrad(h1_4, dpre2.astype(jnp.float32), k2))
+    dh1 = _conv3x3_t(dpre2_4, k2).astype(dt)
     dpre1 = _masked(h1, dh1)
     _acc_out(dk1_ref, i, lax.dot_general(
         xf, dpre1, _DN_W, preferred_element_type=jnp.float32))
@@ -359,7 +455,7 @@ def _stem_fwd_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, s2_ref):
     cp = k1_ref.shape[-1]
     s1 = _lrelu(_conv9(x4, k1_ref[...].astype(dt)).astype(dt)
                 + b1_ref[...].astype(dt))
-    pre2 = (_conv9(s1.reshape(b, h, w2, cp), k2_ref[...].astype(dt))
+    pre2 = (_conv3x3(s1.reshape(b, h, w2, cp), k2_ref[...].astype(dt))
             .astype(dt) + b2_ref[...].astype(dt))
     s2_ref[...] = _lrelu(pre2).reshape(b, h, w2, cp)
 
@@ -379,14 +475,14 @@ def _stem_bwd_kernel(x_ref, dy_ref, k1_ref, b1_ref, k2_ref, b2_ref,
             + b1_ref[...].astype(dt))
     s1 = _lrelu(pre1)
     s1_4 = s1.reshape(b, h, w2, cp)
-    pre2 = _conv9(s1_4, k2).astype(dt) + b2_ref[...].astype(dt)
+    pre2 = _conv3x3(s1_4, k2).astype(dt) + b2_ref[...].astype(dt)
 
     dy = dy_ref[...].reshape(m, cp)
     dpre2 = _masked(pre2, dy)
     _acc_out(db2_ref, i, jnp.sum(dpre2.astype(jnp.float32), axis=0,
                                  keepdims=True))
-    _acc_out(dk2_ref, i, _conv9_wgrad(s1_4, dpre2.astype(jnp.float32)))
-    ds1 = _conv9_t(dpre2.reshape(b, h, w2, cp), k2).astype(dt)
+    _acc_out(dk2_ref, i, _conv3x3_wgrad(s1_4, dpre2.astype(jnp.float32), k2))
+    ds1 = _conv3x3_t(dpre2.reshape(b, h, w2, cp), k2).astype(dt)
     dpre1 = _masked(pre1, ds1)
     _acc_out(db1_ref, i, jnp.sum(dpre1.astype(jnp.float32), axis=0,
                                  keepdims=True))
@@ -460,6 +556,202 @@ def _stem_vjp_bwd(interpret, res, dy):
 
 
 packed_stem.defvjp(_stem_vjp_fwd, _stem_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# BasicBlock chain (nets/HRNet.py:15-44): N x [h = lrelu(3x3(x));
+# y = lrelu(3x3(h) + x)] at uniform channels — the per-stage branch
+# chains (HighResolutionModule).  Branch 0 runs width-packed (A+E taps);
+# branches 1/2 run unpacked (their 128/256 channels already fill lanes).
+# ---------------------------------------------------------------------------
+
+
+def _bb_fwd_kernel(x_ref, *rest, n_blocks, packed):
+    y_ref = rest[n_blocks * 2]
+    dt = y_ref.dtype
+    x4 = x_ref[...]
+    for i in range(n_blocks):
+        k1 = rest[2 * i][...].astype(dt)
+        k2 = rest[2 * i + 1][...].astype(dt)
+        h = _lrelu(_conv3x3(x4, k1, packed).astype(dt))
+        h4 = h.reshape(x4.shape[:3] + (k1.shape[-1],))
+        pre = _conv3x3(h4, k2, packed).astype(dt).reshape(x4.shape)
+        x4 = _lrelu(pre + x4)
+    y_ref[...] = x4
+
+
+def _bb_bwd_kernel(x_ref, dy_ref, *rest, n_blocks, packed):
+    i_prog = pl.program_id(0)
+    dx_ref = rest[n_blocks * 2]
+    dk_refs = rest[n_blocks * 2 + 1:]
+    dt = dx_ref.dtype
+    x4 = x_ref[...]
+    shp = x4.shape
+    m = shp[0] * shp[1] * shp[2]
+
+    ks = [rest[j][...].astype(dt) for j in range(2 * n_blocks)]
+    # forward recompute keeping every block input (all VMEM-resident)
+    xs = [x4]
+    for i in range(n_blocks):
+        h = _lrelu(_conv3x3(xs[i], ks[2 * i], packed).astype(dt))
+        h4 = h.reshape(shp)
+        pre = _conv3x3(h4, ks[2 * i + 1], packed).astype(dt).reshape(shp)
+        xs.append(_lrelu(pre + xs[i]))
+
+    dy = dy_ref[...].reshape(m, shp[-1])
+    for i in reversed(range(n_blocks)):
+        x_i = xs[i]
+        h = _lrelu(_conv3x3(x_i, ks[2 * i], packed).astype(dt))
+        h4 = h.reshape(shp)
+        # xs[i+1] = lrelu(pre_y): sign-equivalent mask source
+        dpre_y = _masked(xs[i + 1].reshape(m, shp[-1]), dy)
+        dpre_y4 = dpre_y.reshape(shp)
+        _acc_out(dk_refs[2 * i + 1], i_prog,
+                 _conv3x3_wgrad(h4, dpre_y.astype(jnp.float32),
+                                ks[2 * i + 1], packed))
+        dh = _conv3x3_t(dpre_y4, ks[2 * i + 1], packed).astype(dt)
+        dpre_h = _masked(h, dh)
+        _acc_out(dk_refs[2 * i], i_prog,
+                 _conv3x3_wgrad(x_i, dpre_h.astype(jnp.float32),
+                                ks[2 * i], packed))
+        dx = _conv3x3_t(dpre_h.reshape(shp), ks[2 * i], packed)
+        dy = (dx + dpre_y.astype(jnp.float32)).astype(dt)
+    dx_ref[...] = dy.reshape(shp)
+
+
+def _bb_pick_bt(batch, h, w2, c, n_blocks, esz):
+    env = os.environ.get("DVIE_TRAINCHAIN_BT")
+    # Conservative: the bwd kernel keeps the whole xs list live across
+    # the unrolled backward walk plus ~4 plane-sized f32 transients per
+    # conv group; the measured envelope (bs32 128x128 branch-0, r5) blew
+    # a 100 MiB estimate at 173 MiB actual, so the estimate headroom is
+    # ~2.8x — budget accordingly.
+    budget = 40 * 2**20
+    plane = h * w2 * c * esz
+    for bt in ([int(env)] if env else []) + [8, 4, 2, 1]:
+        if bt <= 0 or batch % bt:
+            continue
+        streams = 2 * bt * plane * 3               # x, dy, dx double-buffered
+        resident = bt * plane * (n_blocks + 3)     # xs list + h + grads
+        weights = 2 * n_blocks * 9 * c * c * 4 * 2  # ks + dks (f32)
+        if streams + resident + weights < budget:
+            return bt
+    return 0
+
+
+def bb_fits(x: jnp.ndarray, n_blocks: int, dtype=None) -> bool:
+    if x.ndim != 4:
+        return False
+    b, h, w2, c = x.shape
+    return (w2 % 8 == 0 and h >= 8 and c % 128 == 0
+            and _bb_pick_bt(b, h, w2, c, n_blocks,
+                            jnp.dtype(dtype or x.dtype).itemsize) > 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def basicblock_chain(xp, ks, packed=True, interpret=False):
+    """N BasicBlocks in one fwd kernel + one bwd kernel; ``ks`` is a flat
+    tuple of 2N (3,3,C,C) f32 kernels (packed taps when ``packed``)."""
+    return _bb_fwd_impl(xp, ks, packed, interpret)
+
+
+def _bb_fwd_impl(xp, ks, packed, interpret):
+    b, h, w2, c = xp.shape
+    n_blocks = len(ks) // 2
+    dt = xp.dtype
+    bt = _bb_pick_bt(b, h, w2, c, n_blocks, jnp.dtype(dt).itemsize)
+
+    def tile():
+        return pl.BlockSpec((bt, h, w2, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    return pl.pallas_call(
+        functools.partial(_bb_fwd_kernel, n_blocks=n_blocks, packed=packed),
+        grid=(b // bt,),
+        in_specs=[tile()] + [w_spec] * (2 * n_blocks),
+        out_specs=tile(),
+        out_shape=jax.ShapeDtypeStruct((b, h, w2, c), dt),
+        interpret=interpret,
+        **kwargs,
+    )(xp, *ks)
+
+
+def _bb_vjp_fwd(xp, ks, packed, interpret):
+    return _bb_fwd_impl(xp, ks, packed, interpret), (xp, ks)
+
+
+def _bb_vjp_bwd(packed, interpret, res, dy):
+    xp, ks = res
+    b, h, w2, c = xp.shape
+    n_blocks = len(ks) // 2
+    dt = xp.dtype
+    bt = _bb_pick_bt(b, h, w2, c, n_blocks, jnp.dtype(dt).itemsize)
+
+    def tile():
+        return pl.BlockSpec((bt, h, w2, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const():
+        return pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=116 * 1024 * 1024)
+    outs = pl.pallas_call(
+        functools.partial(_bb_bwd_kernel, n_blocks=n_blocks, packed=packed),
+        grid=(b // bt,),
+        in_specs=[tile(), tile()] + [w_spec] * (2 * n_blocks),
+        out_specs=(tile(),) + tuple(const() for _ in range(2 * n_blocks)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, w2, c), dt),)
+        + tuple(jax.ShapeDtypeStruct((3, 3, c, c), jnp.float32)
+                for _ in range(2 * n_blocks)),
+        interpret=interpret,
+        **kwargs,
+    )(xp, dy, *ks)
+    dx = outs[0]
+    dks = tuple(g.astype(k.dtype) for g, k in zip(outs[1:], ks))
+    return dx, dks
+
+
+basicblock_chain.defvjp(_bb_vjp_fwd, _bb_vjp_bwd)
+
+
+def bb_chain_nhwc(x, kernel_pairs, f: int = 2, interpret: bool = False):
+    """Branch chain entry: x (B,H,W,C) logical; ``kernel_pairs`` a list of
+    (k1, k2) logical (3,3,C,C) f32 kernels.  ``f=2`` packs W (branch 0's
+    64-ch chain -> 128 lanes, A+E taps); ``f=1`` runs unpacked (branches
+    whose channels already fill lanes)."""
+    from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+        pack_kernel_3x3,
+        pack_w,
+        unpack_w,
+    )
+
+    if f == 2:
+        xp = pack_w(x, 2)
+        return unpack_w(bb_chain_packed(xp, kernel_pairs, interpret), 2)
+    ks = tuple(k for pair in kernel_pairs for k in pair)
+    return basicblock_chain(x, ks, False, interpret)
+
+
+def bb_chain_packed(xp, kernel_pairs, interpret: bool = False):
+    """Chain entry for an ALREADY width-packed carrier (the cross-stage
+    packed branch-0 contract)."""
+    from deep_video_interpolation_extrapolation_tpu.ops.packed_conv import (
+        pack_kernel_3x3,
+    )
+
+    ks = tuple(pack_kernel_3x3(k, 2) for pair in kernel_pairs
+               for k in pair)
+    return basicblock_chain(xp, ks, True, interpret)
 
 
 # ---------------------------------------------------------------------------
