@@ -24,7 +24,8 @@ import os
 import re
 
 
-def run_trace(out_dir: str, iters: int, batch: int = 8) -> None:
+def run_trace(out_dir: str, iters: int, batch: int = 8,
+              highres_large: bool = False) -> None:
     import jax
     import jax.numpy as jnp
     from deep_video_interpolation_extrapolation_tpu.core.cache import (
@@ -39,6 +40,7 @@ def run_trace(out_dir: str, iters: int, batch: int = 8) -> None:
         runner="INTER", model="InterNet", syn_type="inter", mode="xs2xs",
         train_coarse=True, coarse_model="HRNet", compute_dtype="bfloat16",
         input_h=h, input_w=w, batch_size=batch, dataset="synthetic",
+        highres_large=highres_large,
     )
     model = registry.build_model(cfg)
     rgb = jnp.zeros((batch, h, w, 6), jnp.bfloat16)
@@ -201,6 +203,8 @@ if __name__ == "__main__":
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--train", action="store_true",
                     help="trace the full train step instead of the forward")
+    ap.add_argument("--highres-large", action="store_true",
+                    help="trace the 4-branch --highres_large forward")
     ap.add_argument("--hw", default="512,1024")
     a = ap.parse_args()
     if not a.parse_only:
@@ -208,5 +212,6 @@ if __name__ == "__main__":
             h, w = (int(v) for v in a.hw.split(","))
             run_trace_train(a.out, a.iters, a.batch, h, w)
         else:
-            run_trace(a.out, a.iters, a.batch)
+            run_trace(a.out, a.iters, a.batch,
+                      highres_large=a.highres_large)
     parse_trace(a.out, a.top, a.iters)
