@@ -161,8 +161,14 @@ class HighResolutionModule(nn.Module):
                 pallas_enabled as _pe_hrm,
             )
             use_bbchain = False
-            # DVIE_BBCHAIN: all | b0 (packed branch 0 only) | rest | 0
-            _bbmode = _os.environ.get("DVIE_BBCHAIN", "all")
+            # DVIE_BBCHAIN: all | b0 (packed branch 0 only) | rest | 0.
+            # Default b0 — the r5 per-branch A/B at the 128x128 bs32
+            # recipe: b0-only 259.2 samples/s, rest-only 237.0, all
+            # 243.9, off 250.0 (docs/TRAINBENCH_r5.md): the packed
+            # full-res branch wins big; the 64x64/32x32 branches lose
+            # (small tiles at bt<=2 + dense 9-tap dots beat by XLA's own
+            # fusions at those sizes) — measured refutation, kept opt-in.
+            _bbmode = _os.environ.get("DVIE_BBCHAIN", "b0")
             _bb_allowed = (_bbmode == "all"
                            or (_bbmode == "b0" and packable)
                            or (_bbmode == "rest" and not packable))
