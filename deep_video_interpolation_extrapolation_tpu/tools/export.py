@@ -104,6 +104,70 @@ def export_forward(
     return path
 
 
+def rollout_fn(cfg, model, variables, steps: int) -> Callable:
+    """The full autoregressive cycgen rollout as ONE function: the
+    reference's ``mini_test`` sliding window (InterTrainer.py:786-856) —
+    each step feeds the predicted rgb back doubled into the 2-frame
+    window and the predicted seg via argmax -> one-hot.  ``lax.scan``
+    keeps it a single compiled program, exportable as one artifact."""
+
+    def roll(rgb, seg_ids):
+        def step(carry, _):
+            cur_rgb, cur_ids = carry
+            oh = jax.nn.one_hot(cur_ids, 20, dtype=cur_rgb.dtype)
+            cur_seg = jnp.concatenate([oh, oh], axis=-1)
+            out_rgb, out_seg = model.apply(variables, cur_rgb, cur_seg,
+                                           train=False)
+            nxt_rgb = jnp.concatenate(
+                [out_rgb, out_rgb], axis=-1).astype(cur_rgb.dtype)
+            nxt_ids = jnp.argmax(out_seg, -1).astype(jnp.uint8)
+            return (nxt_rgb, nxt_ids), (out_rgb, nxt_ids)
+        _, (frames, ids) = jax.lax.scan(step, (rgb, seg_ids), None,
+                                        length=steps)
+        return frames, ids
+
+    return roll
+
+
+def export_rollout(
+    cfg,
+    variables,
+    path: str,
+    steps: int,
+    model=None,
+    batch_size: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Serialize the ``steps``-frame autoregressive rollout to ``path``.
+
+    Signature: (rgb (B,H,W,6), seg_ids (B,H,W) uint8) -> (frames
+    (steps,B,H,W,3), ids (steps,B,H,W) uint8).  The whole inference
+    product — N generated frames from one 2-frame window — is a single
+    self-contained StableHLO artifact; the reference needs its full
+    training repo in the loop for the same output."""
+    from jax import export as jex
+
+    from deep_video_interpolation_extrapolation_tpu.models import registry
+
+    if model is None:
+        model = registry.build_model(cfg)
+    if _needs_noise_rng(cfg):
+        raise ValueError("rollout export covers the deterministic "
+                         "interpolation head; VAE heads need a seed per "
+                         "window — export_forward serves those")
+    b = batch_size or cfg.batch_size
+    dt = registry.compute_dtype(cfg)
+    rgb = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w, 6), dt)
+    ids = jax.ShapeDtypeStruct((b, cfg.input_h, cfg.input_w), jnp.uint8)
+    exported = jex.export(
+        jax.jit(rollout_fn(cfg, model, variables, steps)),
+        platforms=tuple(platforms) if platforms else None,
+    )(rgb, ids)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    return path
+
+
 def load_exported(path: str) -> Callable:
     """Deserialize an ``export_forward`` artifact into a callable.
 
