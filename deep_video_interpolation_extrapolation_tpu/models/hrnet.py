@@ -189,10 +189,12 @@ class HighResolutionModule(nn.Module):
                              None, return_params=True)
                          for _ in range(self.num_blocks[i])]
                 h = h.astype(self.dtype or h.dtype)
+                _interp = _jax.default_backend() != "tpu"
                 if packable:
-                    h = _tcn.bb_chain_packed(h, pairs)
+                    h = _tcn.bb_chain_packed(h, pairs, interpret=_interp)
                 else:
-                    h = _tcn.bb_chain_nhwc(h, pairs, f=1)
+                    h = _tcn.bb_chain_nhwc(h, pairs, f=1,
+                                           interpret=_interp)
             else:
                 for _ in range(self.num_blocks[i]):
                     h = BasicBlock(self.num_channels[i], dtype=self.dtype,
@@ -599,7 +601,8 @@ class _HRBackbone(nn.Module):
                 64, dtype=self.dtype, in_features=64 if i == 0 else 256,
                 name=f"layer1_{i}")(None, return_params=True))
         return pallas_trainchain.stem_layer1_chain(
-            x.astype(dt), (k1s, b1s, k2s, b2s), blocks)
+            x.astype(dt), (k1s, b1s, k2s, b2s), blocks,
+            interpret=jax.default_backend() != "tpu")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -105,7 +105,7 @@ def _ups4x_block(v2, th: int, wt: int, dt):
 
 def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
             *rest, th: int, wt: int, ni: int, nj: int, total: int,
-            ns: int = 1, x0f4: bool = False):
+            ns: int = 1, x0f4: bool = False, predot: bool = False):
     rest = list(rest)
     # x0f4: x0 arrives f4-packed (block (1, th, wt, 4C0)) and w1a_ref is
     # the phase-EVEN masked stack [[W],[0]]; w1ao_ref the ODD [[0],[W]]
@@ -162,8 +162,13 @@ def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
     up1 = _ups2x_block(s1[p % 2].astype(jnp.float32), th, wt, dt)
 
     cp2.wait()
-    # ---- x4 upsample of p2 (unpacked: sublane = source column)
-    up2 = _ups4x_block(s2[p % 2].astype(jnp.float32), th, wt, dt)
+    # ---- x4 upsample of p2 (unpacked: sublane = source column).
+    # predot: bilinear upsampling commutes with the per-channel 1x1 head
+    # map, so the fat 256-lane part dots FIRST at 1/16 of the rows and
+    # only the n2-wide result expands (ns forced to 1 by the impl).
+    v2 = s2[p % 2]
+    if not predot:
+        up2 = _ups4x_block(v2.astype(jnp.float32), th, wt, dt)
 
     # N-split loop (ns>1 only with the taps matmul): halving the hidden-N
     # per pass halves the f32 accumulator footprint, buying larger tiles.
@@ -195,8 +200,13 @@ def _kernel(x0_ref, p1_ref, p2_ref, w1a_ref, w1b_ref, w1c_ref, b1_ref,
                                       preferred_element_type=jnp.float32)
         acc = acc + jax.lax.dot_general(up1, w1b_ref[s_i], dn,
                                         preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(up2, w1c_ref[s_i], dn,
-                                        preferred_element_type=jnp.float32)
+        if predot:
+            z2 = jax.lax.dot_general(v2, w1c_ref[s_i], dn,
+                                     preferred_element_type=jnp.float32)
+            acc = acc + _ups4x_block(z2, th, wt, jnp.float32)
+        else:
+            acc = acc + jax.lax.dot_general(
+                up2, w1c_ref[s_i], dn, preferred_element_type=jnp.float32)
         h = acc + b1_ref[s_i]
         h = jnp.where(h >= 0, h, 0.2 * h)
         if w2t_ref is None:
@@ -246,6 +256,10 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False,
         b, h, w, c0 = p0.shape
     c1, c2 = p1.shape[-1], p2.shape[-1]
     th, wt, ns = TH, WT, 1
+    # 3-part predot REFUTED on the chip (35.65 vs 36.35 fps at the
+    # flagship bench — the tuned x0f4/ns=2 form already wins there);
+    # kept opt-in for A/B
+    predot = os.environ.get("DVIE_UPSHEAD_PREDOT", "0") == "1"
     tile_env = os.environ.get("DVIE_UPSHEAD_TILE")
     if tile_env:
         t_th, t_wt, t_ns = (int(v) for v in tile_env.split(","))
@@ -257,6 +271,8 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False,
                 and (t_ns == 1 or (w2t is not None
                                    and w1.shape[1] % t_ns == 0))):
             th, wt, ns = t_th, t_wt, t_ns
+    if predot:
+        ns = 1   # full-128-lane expansion of the pre-dotted z2
     w4 = w // 4
     while w4 % wt:
         wt //= 2
@@ -285,7 +301,8 @@ def _pallas_impl(p0, p1, p2, w1, b1, w2t=None, interpret=False,
     n = n2 if w2t is None else w2t.shape[1]
 
     kern = functools.partial(_kernel, th=th, wt=wt, ni=ni, nj=nj,
-                             total=b * ni * nj, ns=ns, x0f4=x0_f4)
+                             total=b * ni * nj, ns=ns, x0f4=x0_f4,
+                             predot=predot)
     if x0_f4:
         x0_spec = pl.BlockSpec((1, th, wt, 4 * c0),
                                lambda bi, i, j: (bi, i, j, 0),
@@ -843,7 +860,7 @@ def fits_fold(p0, p1, p2) -> bool:
 
 def _kernel4(x0_ref, p1_ref, p2_ref, p3_ref, w1a_ref, w1b_ref, w1c_ref,
              w1d_ref, b1_ref, *rest, th: int, wt: int, ni: int, nj: int,
-             total: int, ns: int = 1):
+             total: int, ns: int = 1, predot: bool = False):
     # rest = [w2t_ref?] + [out_ref, s1, s2, s3, sems]
     if len(rest) == 6:
         w2t_ref, out_ref, s1, s2, s3, sems = rest
@@ -912,54 +929,64 @@ def _kernel4(x0_ref, p1_ref, p2_ref, p3_ref, w1a_ref, w1b_ref, w1c_ref,
     ], axis=-1).astype(dt)
     up1 = up1.reshape(th, 4 * wt, c1)
 
+    def _expand2(u2, c_out):
+        """4x W-phase expansion of a (th, wt+16, C) row-expanded tile."""
+        cm1 = pltpu.roll(u2, 1, axis=1)[:, 8:8 + wt]
+        cc = u2[:, 8:8 + wt]
+        cp1_ = pltpu.roll(u2, u2.shape[1] - 1, axis=1)[:, 8:8 + wt]
+        out = jnp.concatenate([
+            0.375 * cm1 + 0.625 * cc,
+            0.125 * cm1 + 0.875 * cc,
+            0.875 * cc + 0.125 * cp1_,
+            0.625 * cc + 0.375 * cp1_,
+        ], axis=-1)
+        return out.reshape(th, 4 * wt, c_out)
+
+    def _rows2(v2):
+        rows = []
+        wts4 = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125),
+                (0.625, 0.375))
+        for r in range(th):
+            a = r // 4 + 1
+            w_lo, w_hi = wts4[r % 4]
+            if r % 4 < 2:
+                rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
+            else:
+                rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
+        return jnp.stack(rows)
+
+    def _rows3(v3):
+        rows = []
+        for r in range(th):
+            a = r // 8 + 1
+            d = (r % 8 - 3.5) / 8.0
+            if d < 0:
+                rows.append((-d) * v3[a - 1] + (1.0 + d) * v3[a])
+            else:
+                rows.append((1.0 - d) * v3[a] + d * v3[a + 1])
+        return jnp.stack(rows)                    # (th, wt/2+16, C)
+
+    def _expand3(u3, c_out):
+        """8x W-phase expansion of a (th, wt/2+16, C) row-expanded tile."""
+        cm1_3 = pltpu.roll(u3, 1, axis=1)[:, 8:8 + wt // 2]
+        cc_3 = u3[:, 8:8 + wt // 2]
+        cp1_3 = pltpu.roll(u3, u3.shape[1] - 1, axis=1)[:, 8:8 + wt // 2]
+        phases = []
+        for q in range(8):
+            d = (q - 3.5) / 8.0
+            if d < 0:
+                phases.append((-d) * cm1_3 + (1.0 + d) * cc_3)
+            else:
+                phases.append((1.0 - d) * cc_3 + d * cp1_3)
+        return jnp.concatenate(phases, axis=-1).reshape(th, 4 * wt, c_out)
+
     cp2.wait()
     v2 = s2[p % 2].astype(jnp.float32)
-    rows = []
-    wts4 = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125), (0.625, 0.375))
-    for r in range(th):
-        a = r // 4 + 1
-        w_lo, w_hi = wts4[r % 4]
-        if r % 4 < 2:
-            rows.append(w_lo * v2[a - 1] + w_hi * v2[a])
-        else:
-            rows.append(w_lo * v2[a] + w_hi * v2[a + 1])
-    u2 = jnp.stack(rows)
-    cm1 = pltpu.roll(u2, 1, axis=1)[:, 8:8 + wt]
-    cc = u2[:, 8:8 + wt]
-    cp1_ = pltpu.roll(u2, u2.shape[1] - 1, axis=1)[:, 8:8 + wt]
-    up2 = jnp.concatenate([
-        0.375 * cm1 + 0.625 * cc,
-        0.125 * cm1 + 0.875 * cc,
-        0.875 * cc + 0.125 * cp1_,
-        0.625 * cc + 0.375 * cp1_,
-    ], axis=-1).astype(dt)
-    c2 = v2.shape[-1]
-    up2 = up2.reshape(th, 4 * wt, c2)
-
     cp3.wait()
     v3 = s3[p % 2].astype(jnp.float32)            # (th/8+2, wt/2+16, C3)
-    rows = []
-    for r in range(th):
-        a = r // 8 + 1
-        d = (r % 8 - 3.5) / 8.0
-        if d < 0:
-            rows.append((-d) * v3[a - 1] + (1.0 + d) * v3[a])
-        else:
-            rows.append((1.0 - d) * v3[a] + d * v3[a + 1])
-    u3 = jnp.stack(rows)                          # (th, wt/2+16, C3)
-    cm1_3 = pltpu.roll(u3, 1, axis=1)[:, 8:8 + wt // 2]
-    cc_3 = u3[:, 8:8 + wt // 2]
-    cp1_3 = pltpu.roll(u3, u3.shape[1] - 1, axis=1)[:, 8:8 + wt // 2]
-    phases = []
-    for q in range(8):
-        d = (q - 3.5) / 8.0
-        if d < 0:
-            phases.append((-d) * cm1_3 + (1.0 + d) * cc_3)
-        else:
-            phases.append((1.0 - d) * cc_3 + d * cp1_3)
-    up3 = jnp.concatenate(phases, axis=-1).astype(dt)  # (th, wt/2, 8*C3)
-    c3 = v3.shape[-1]
-    up3 = up3.reshape(th, 4 * wt, c3)
+    if not predot:
+        up2 = _expand2(_rows2(v2), v2.shape[-1]).astype(dt)
+        up3 = _expand3(_rows3(v3), v3.shape[-1]).astype(dt)
 
     x0 = x0_ref[0]
     yt = None
@@ -968,10 +995,24 @@ def _kernel4(x0_ref, p1_ref, p2_ref, p3_ref, w1a_ref, w1b_ref, w1c_ref,
                                   preferred_element_type=jnp.float32)
         acc = acc + jax.lax.dot_general(up1, w1b_ref[s_i], dn,
                                         preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(up2, w1c_ref[s_i], dn,
-                                        preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(up3, w1d_ref[s_i], dn,
-                                        preferred_element_type=jnp.float32)
+        if predot:
+            # bilinear upsampling commutes with the per-channel 1x1 head
+            # map: dot the fat low-res parts FIRST (p2 at 1/16, p3 at
+            # 1/64 of the rows), then expand the n2-wide results — 4.4x
+            # fewer head MACs than upsample-then-dot at this geometry
+            z2 = jax.lax.dot_general(
+                v2.astype(dt), w1c_ref[s_i], dn,
+                preferred_element_type=jnp.float32)
+            acc = acc + _expand2(_rows2(z2), z2.shape[-1])
+            z3 = jax.lax.dot_general(
+                v3.astype(dt), w1d_ref[s_i], dn,
+                preferred_element_type=jnp.float32)
+            acc = acc + _expand3(_rows3(z3), z3.shape[-1])
+        else:
+            acc = acc + jax.lax.dot_general(
+                up2, w1c_ref[s_i], dn, preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                up3, w1d_ref[s_i], dn, preferred_element_type=jnp.float32)
         h = acc + b1_ref[s_i]
         h = jnp.where(h >= 0, h, 0.2 * h)
         if w2t_ref is None:
@@ -989,6 +1030,11 @@ def _pallas_impl4(p0, p1, p2, p3, w1, b1, w2t=None, interpret=False):
     b, h, w, c0 = p0.shape
     c1, c2, c3 = p1.shape[-1], p2.shape[-1], p3.shape[-1]
     th, wt, ns = 8, 32, 2
+    # DEFAULT ON (r5 A/B at the HL bench: 20.18 vs 19.27 fps; the
+    # losing tile retunes 19.04/18.65 and the flagship 3-part port
+    # 35.65-vs-36.35 are the measured refutations that scope it to the
+    # 4-part geometry, docs/ROOFLINE_r5.md)
+    predot = os.environ.get("DVIE_UPSHEAD4_PREDOT", "1") == "1"
     env = os.environ.get("DVIE_UPSHEAD4_TILE")
     if env:
         t_th, t_wt, t_ns = (int(v) for v in env.split(","))
@@ -996,6 +1042,10 @@ def _pallas_impl4(p0, p1, p2, p3, w1, b1, w2t=None, interpret=False):
                 and (w // 4) % t_wt == 0 and t_wt % 2 == 0
                 and w1.shape[1] % t_ns == 0):
             th, wt, ns = t_th, t_wt, t_ns
+    if predot:
+        # pre-dot mode (see _kernel4): single hidden split keeps the
+        # expanded z tensors at full 128 lanes
+        ns = 1
     w4 = w // 4
     while w4 % wt or wt % 2:
         wt //= 2
@@ -1024,7 +1074,7 @@ def _pallas_impl4(p0, p1, p2, p3, w1, b1, w2t=None, interpret=False):
     n = n2 if w2t is None else w2t.shape[1]
 
     kern = functools.partial(_kernel4, th=th, wt=wt, ni=ni, nj=nj,
-                             total=b * ni * nj, ns=ns)
+                             total=b * ni * nj, ns=ns, predot=predot)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, th, 4 * wt, c0), lambda bi, i, j: (bi, i, j, 0),
