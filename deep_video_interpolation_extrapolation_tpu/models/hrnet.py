@@ -162,13 +162,18 @@ class HighResolutionModule(nn.Module):
             )
             use_bbchain = False
             # DVIE_BBCHAIN: all | b0 (packed branch 0 only) | rest | 0.
-            # Default b0 — the r5 per-branch A/B at the 128x128 bs32
-            # recipe: b0-only 259.2 samples/s, rest-only 237.0, all
-            # 243.9, off 250.0 (docs/TRAINBENCH_r5.md): the packed
-            # full-res branch wins big; the 64x64/32x32 branches lose
-            # (small tiles at bt<=2 + dense 9-tap dots beat by XLA's own
-            # fusions at those sizes) — measured refutation, kept opt-in.
-            _bbmode = _os.environ.get("DVIE_BBCHAIN", "b0")
+            # Default 0: b0 measured +3.7% (259.2 vs 250.0 samples/s at
+            # the 128x128 bs32 recipe; rest-only 237.0 and all 243.9 are
+            # refuted, docs/TRAINBENCH_r5.md) but the FULL train step
+            # with b0 at bs32 emits inf in coarse_ce_loss while every
+            # rgb loss matches chain-off exactly — the chain is finite
+            # standalone (fwd+bwd grads checked at the identical
+            # geometry), finite at bs8 in-step, and finite at bs32 with
+            # the layer1 chain alone, so this is an integration-context
+            # miscompile/corruption that standalone tests cannot pin.
+            # Shipped OFF until reproduced narrowly; b0 stays one env
+            # flag away for perf work.
+            _bbmode = _os.environ.get("DVIE_BBCHAIN", "0")
             _bb_allowed = (_bbmode == "all"
                            or (_bbmode == "b0" and packable)
                            or (_bbmode == "rest" and not packable))
