@@ -32,11 +32,14 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 _LOG_LINE = re.compile(
     r"\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})[^\]]*\]\s*\[epoch\s*(\d+)\]"
-    r"\[iter\s*(\d+)\] loss: ([0-9.]+), load: ([0-9.]+)s, comp: ([0-9.]+)s")
+    r"\[iter\s*(\d+)\] loss: ([0-9.]+|nan|inf), load: ([0-9.]+)s, "
+    r"comp: ([0-9.]+)s")
 
 
 def run(steps: int, bs: int, nw: int, disp: int, keep: bool,
@@ -46,7 +49,7 @@ def run(steps: int, bs: int, nw: int, disp: int, keep: bool,
     root = tempfile.mkdtemp(prefix="dvie_e2e_")
     try:
         t0 = time.time()
-        fix = smoke.build_fixture(root, n_vids=6, clip_len=30,
+        fix = smoke.build_fixture(root, n_vids=16, clip_len=30,
                                   src=(512, 1024), interval=3)
         build_s = time.time() - t0
         n_train = fix["n_train_clips"]
@@ -97,7 +100,7 @@ def main():
                     help="steady-state steps to accumulate after warmup")
     ap.add_argument("--bs", type=int, default=32)
     ap.add_argument("--nw", type=int, default=4)
-    ap.add_argument("--disp", type=int, default=5)
+    ap.add_argument("--disp", type=int, default=2)
     ap.add_argument("--warm-steps", type=int, default=15,
                     help="display blocks worth of steps dropped as warmup")
     ap.add_argument("--keep", action="store_true")
@@ -130,6 +133,7 @@ def main():
             "load_s": round(load, 2), "comp_s": round(comp, 2),
             "load_frac": round(load / max(load + comp, 1e-9), 3),
             "loss_first": rows[0]["loss"], "loss_last": rows[-1]["loss"],
+            "loss_finite": bool(np.isfinite([b["loss"] for b in rows]).all()),
         })
     else:
         result["stderr_tail"] = r["stderr_tail"]
