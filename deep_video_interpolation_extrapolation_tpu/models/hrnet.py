@@ -162,18 +162,17 @@ class HighResolutionModule(nn.Module):
             )
             use_bbchain = False
             # DVIE_BBCHAIN: all | b0 (packed branch 0 only) | rest | 0.
-            # Default 0: b0 measured +3.7% (259.2 vs 250.0 samples/s at
-            # the 128x128 bs32 recipe; rest-only 237.0 and all 243.9 are
-            # refuted, docs/TRAINBENCH_r5.md) but the FULL train step
-            # with b0 at bs32 emits inf in coarse_ce_loss while every
-            # rgb loss matches chain-off exactly — the chain is finite
-            # standalone (fwd+bwd grads checked at the identical
-            # geometry), finite at bs8 in-step, and finite at bs32 with
-            # the layer1 chain alone, so this is an integration-context
-            # miscompile/corruption that standalone tests cannot pin.
-            # Shipped OFF until reproduced narrowly; b0 stays one env
-            # flag away for perf work.
-            _bbmode = _os.environ.get("DVIE_BBCHAIN", "0")
+            # Default b0 (261.6 vs 249.8 samples/s at the 128x128 bs32
+            # recipe; rest-only 237.0 and all 243.9 are measured
+            # refutations, docs/TRAINBENCH_r5.md).  HISTORY: the first
+            # b0 build used revisited-constant weight-grad accumulator
+            # blocks and CORRUPTED an unrelated buffer (inf in
+            # coarse_ce_loss at bs32 in-step while finite standalone and
+            # at bs8) — every chain bwd kernel now emits per-program
+            # grad partials summed by XLA outside, which fixed the
+            # corruption AND measured faster; the accumulator pattern is
+            # banned from these kernels (pallas_trainchain notes).
+            _bbmode = _os.environ.get("DVIE_BBCHAIN", "b0")
             _bb_allowed = (_bbmode == "all"
                            or (_bbmode == "b0" and packable)
                            or (_bbmode == "rest" and not packable))

@@ -225,18 +225,6 @@ def _conv3x3_wgrad(x4, dpre, k2, packed: bool = True):
             else _conv9_wgrad(x4, dpre))
 
 
-def _acc_out(ref, i, val):
-    """First-step assign / later-step accumulate into a constant-index
-    output block (stays VMEM-resident across the batch grid)."""
-    @pl.when(i == 0)
-    def _():
-        ref[...] = val
-
-    @pl.when(i > 0)
-    def _():
-        ref[...] = ref[...] + val
-
-
 # ---------------------------------------------------------------------------
 # Bottleneck block (HRNet.py:47-85): h1 = lrelu(x@K1); h2 = lrelu(3x3(h1));
 # y = lrelu(h2@K3 + (x@Kres | x))
@@ -268,7 +256,6 @@ def _bn_fwd_kernel(x_ref, k1_ref, k2_ref, k3_ref, kres_ref, y_ref, *,
 def _bn_bwd_kernel(x_ref, dy_ref, k1_ref, k2_ref, k3_ref, kres_ref,
                    dx_ref, dk1_ref, dk2_ref, dk3_ref, dkres_ref, *,
                    has_res):
-    i = pl.program_id(0)
     dt = dx_ref.dtype
     x4 = x_ref[...]
     b, h, w2, ci = x4.shape
@@ -295,23 +282,27 @@ def _bn_bwd_kernel(x_ref, dy_ref, k1_ref, k2_ref, k3_ref, kres_ref,
 
     dy = dy_ref[...].reshape(m, pre_y.shape[-1])
     dpre_y = _masked(pre_y, dy)
-    _acc_out(dk3_ref, i, lax.dot_general(
-        h2, dpre_y, _DN_W, preferred_element_type=jnp.float32))
+    # per-program weight-grad partials, summed by XLA outside: the
+    # revisited-constant accumulator form measurably corrupted an
+    # unrelated buffer in one bs32 composition (see the DVIE_BBCHAIN
+    # note in models/hrnet.py) — banned from every chain kernel
+    dk3_ref[0] = lax.dot_general(
+        h2, dpre_y, _DN_W, preferred_element_type=jnp.float32)
     dh2 = lax.dot_general(dpre_y, k3, _DN_T,
                           preferred_element_type=jnp.float32).astype(dt)
     dpre2 = _masked(h2, dh2)
     dpre2_4 = dpre2.reshape(b, h, w2, cp)
-    _acc_out(dk2_ref, i, _conv3x3_wgrad(h1_4, dpre2.astype(jnp.float32), k2))
+    dk2_ref[0] = _conv3x3_wgrad(h1_4, dpre2.astype(jnp.float32), k2)
     dh1 = _conv3x3_t(dpre2_4, k2).astype(dt)
     dpre1 = _masked(h1, dh1)
-    _acc_out(dk1_ref, i, lax.dot_general(
-        xf, dpre1, _DN_W, preferred_element_type=jnp.float32))
+    dk1_ref[0] = lax.dot_general(
+        xf, dpre1, _DN_W, preferred_element_type=jnp.float32)
     dx = lax.dot_general(dpre1, k1, _DN_T,
                          preferred_element_type=jnp.float32)
     if has_res:
         kres = kres_ref[...].astype(dt)
-        _acc_out(dkres_ref, i, lax.dot_general(
-            xf, dpre_y, _DN_W, preferred_element_type=jnp.float32))
+        dkres_ref[0] = lax.dot_general(
+            xf, dpre_y, _DN_W, preferred_element_type=jnp.float32)
         dx = dx + lax.dot_general(dpre_y, kres, _DN_T,
                                   preferred_element_type=jnp.float32)
     else:
@@ -410,32 +401,39 @@ def _bn_vjp_bwd(interpret, res, dy):
     bt = _pick_bt(b, h, w2, ci, co, jnp.dtype(dt).itemsize)
     has_res = kresp is not None
     kres_in = kresp if has_res else jnp.zeros((ci, co), k3p.dtype)
-    tile, const = _bn_specs(bt, h, w2, None, None)
+    tile, _const = _bn_specs(bt, h, w2, None, None)
+    n_prog = b // bt
+
+    def part(shape):
+        nd = len(shape) + 1
+        return pl.BlockSpec((1,) + shape, lambda i, _n=nd: (i,) + (0,) * (_n - 1),
+                            memory_space=pltpu.VMEM)
+
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_specs = (tile(ci), const((ci, cp)), const((3, 3, cp, cp)),
-                 const((cp, co)), const((ci, co)))
+    out_specs = (tile(ci), part((ci, cp)), part((3, 3, cp, cp)),
+                 part((cp, co)), part((ci, co)))
     out_shape = (jax.ShapeDtypeStruct((b, h, w2, ci), dt),
-                 jax.ShapeDtypeStruct((ci, cp), jnp.float32),
-                 jax.ShapeDtypeStruct((3, 3, cp, cp), jnp.float32),
-                 jax.ShapeDtypeStruct((cp, co), jnp.float32),
-                 jax.ShapeDtypeStruct((ci, co), jnp.float32))
+                 jax.ShapeDtypeStruct((n_prog, ci, cp), jnp.float32),
+                 jax.ShapeDtypeStruct((n_prog, 3, 3, cp, cp), jnp.float32),
+                 jax.ShapeDtypeStruct((n_prog, cp, co), jnp.float32),
+                 jax.ShapeDtypeStruct((n_prog, ci, co), jnp.float32))
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=116 * 1024 * 1024)
     dx, dk1, dk2, dk3, dkres = pl.pallas_call(
         functools.partial(_bn_bwd_kernel, has_res=has_res),
-        grid=(b // bt,),
+        grid=(n_prog,),
         in_specs=[tile(ci), tile(co), w_spec, w_spec, w_spec, w_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
         **kwargs,
     )(xp, dy, k1p, k2p, k3p, kres_in)
-    dk1 = dk1.astype(k1p.dtype)
-    dk2 = dk2.astype(k2p.dtype)
-    dk3 = dk3.astype(k3p.dtype)
-    dkres = dkres.astype(k3p.dtype) if has_res else None
+    dk1 = dk1.sum(axis=0).astype(k1p.dtype)
+    dk2 = dk2.sum(axis=0).astype(k2p.dtype)
+    dk3 = dk3.sum(axis=0).astype(k3p.dtype)
+    dkres = dkres.sum(axis=0).astype(k3p.dtype) if has_res else None
     return dx, dk1, dk2, dk3, dkres
 
 
@@ -462,7 +460,6 @@ def _stem_fwd_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, s2_ref):
 
 def _stem_bwd_kernel(x_ref, dy_ref, k1_ref, b1_ref, k2_ref, b2_ref,
                      dx_ref, dk1_ref, db1_ref, dk2_ref, db2_ref):
-    i = pl.program_id(0)
     dt = dx_ref.dtype
     x4 = x_ref[...]
     b, h, w2, ci = x4.shape
@@ -479,14 +476,13 @@ def _stem_bwd_kernel(x_ref, dy_ref, k1_ref, b1_ref, k2_ref, b2_ref,
 
     dy = dy_ref[...].reshape(m, cp)
     dpre2 = _masked(pre2, dy)
-    _acc_out(db2_ref, i, jnp.sum(dpre2.astype(jnp.float32), axis=0,
-                                 keepdims=True))
-    _acc_out(dk2_ref, i, _conv3x3_wgrad(s1_4, dpre2.astype(jnp.float32), k2))
+    # per-program partials (see _bn_bwd_kernel note)
+    db2_ref[0] = jnp.sum(dpre2.astype(jnp.float32), axis=0, keepdims=True)
+    dk2_ref[0] = _conv3x3_wgrad(s1_4, dpre2.astype(jnp.float32), k2)
     ds1 = _conv3x3_t(dpre2.reshape(b, h, w2, cp), k2).astype(dt)
     dpre1 = _masked(pre1, ds1)
-    _acc_out(db1_ref, i, jnp.sum(dpre1.astype(jnp.float32), axis=0,
-                                 keepdims=True))
-    _acc_out(dk1_ref, i, _conv9_wgrad(x4, dpre1.astype(jnp.float32)))
+    db1_ref[0] = jnp.sum(dpre1.astype(jnp.float32), axis=0, keepdims=True)
+    dk1_ref[0] = _conv9_wgrad(x4, dpre1.astype(jnp.float32))
     dx = _conv9_t(dpre1.reshape(b, h, w2, cp), k1)
     dx_ref[...] = dx.astype(dt).reshape(b, h, w2, ci)
 
@@ -531,7 +527,14 @@ def _stem_vjp_bwd(interpret, res, dy):
     cp = k1p.shape[-1]
     dt = xp.dtype
     bt = _pick_bt(b, h, w2, ci, cp, jnp.dtype(dt).itemsize)
-    tile, const = _bn_specs(bt, h, w2, None, None)
+    tile, _const = _bn_specs(bt, h, w2, None, None)
+    n_prog = b // bt
+
+    def part(shape):
+        nd = len(shape) + 1
+        return pl.BlockSpec((1,) + shape, lambda i, _n=nd: (i,) + (0,) * (_n - 1),
+                            memory_space=pltpu.VMEM)
+
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kwargs = {}
     if not interpret:
@@ -539,20 +542,22 @@ def _stem_vjp_bwd(interpret, res, dy):
             vmem_limit_bytes=116 * 1024 * 1024)
     dx, dk1, db1, dk2, db2 = pl.pallas_call(
         _stem_bwd_kernel,
-        grid=(b // bt,),
+        grid=(n_prog,),
         in_specs=[tile(ci), tile(cp)] + [w_spec] * 4,
-        out_specs=(tile(ci), const((3, 3, ci, cp)), const((1, cp)),
-                   const((3, 3, cp, cp)), const((1, cp))),
+        out_specs=(tile(ci), part((3, 3, ci, cp)), part((1, cp)),
+                   part((3, 3, cp, cp)), part((1, cp))),
         out_shape=(jax.ShapeDtypeStruct((b, h, w2, ci), dt),
-                   jax.ShapeDtypeStruct((3, 3, ci, cp), jnp.float32),
-                   jax.ShapeDtypeStruct((1, cp), jnp.float32),
-                   jax.ShapeDtypeStruct((3, 3, cp, cp), jnp.float32),
-                   jax.ShapeDtypeStruct((1, cp), jnp.float32)),
+                   jax.ShapeDtypeStruct((n_prog, 3, 3, ci, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((n_prog, 1, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((n_prog, 3, 3, cp, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((n_prog, 1, cp), jnp.float32)),
         interpret=interpret,
         **kwargs,
     )(xp, dy, k1p, b1p, k2p, b2p)
-    return (dx, dk1.astype(k1p.dtype), db1.astype(b1p.dtype),
-            dk2.astype(k2p.dtype), db2.astype(b2p.dtype))
+    return (dx, dk1.sum(axis=0).astype(k1p.dtype),
+            db1.sum(axis=0).astype(b1p.dtype),
+            dk2.sum(axis=0).astype(k2p.dtype),
+            db2.sum(axis=0).astype(b2p.dtype))
 
 
 packed_stem.defvjp(_stem_vjp_fwd, _stem_vjp_bwd)
@@ -581,7 +586,6 @@ def _bb_fwd_kernel(x_ref, *rest, n_blocks, packed):
 
 
 def _bb_bwd_kernel(x_ref, dy_ref, *rest, n_blocks, packed):
-    i_prog = pl.program_id(0)
     dx_ref = rest[n_blocks * 2]
     dk_refs = rest[n_blocks * 2 + 1:]
     dt = dx_ref.dtype
@@ -606,14 +610,18 @@ def _bb_bwd_kernel(x_ref, dy_ref, *rest, n_blocks, packed):
         # xs[i+1] = lrelu(pre_y): sign-equivalent mask source
         dpre_y = _masked(xs[i + 1].reshape(m, shp[-1]), dy)
         dpre_y4 = dpre_y.reshape(shp)
-        _acc_out(dk_refs[2 * i + 1], i_prog,
-                 _conv3x3_wgrad(h4, dpre_y.astype(jnp.float32),
-                                ks[2 * i + 1], packed))
+        # per-program dk partials (grid-indexed blocks, summed by XLA
+        # outside) instead of the revisited-constant accumulators the
+        # bottleneck kernels use: with the accumulators this kernel's
+        # in-model composition at bs32 corrupted an UNRELATED buffer
+        # (the seg logits feeding CE) while every standalone check
+        # passed — see models/hrnet.py DVIE_BBCHAIN note
+        dk_refs[2 * i + 1][0] = _conv3x3_wgrad(
+            h4, dpre_y.astype(jnp.float32), ks[2 * i + 1], packed)
         dh = _conv3x3_t(dpre_y4, ks[2 * i + 1], packed).astype(dt)
         dpre_h = _masked(h, dh)
-        _acc_out(dk_refs[2 * i], i_prog,
-                 _conv3x3_wgrad(x_i, dpre_h.astype(jnp.float32),
-                                ks[2 * i], packed))
+        dk_refs[2 * i][0] = _conv3x3_wgrad(
+            x_i, dpre_h.astype(jnp.float32), ks[2 * i], packed)
         dx = _conv3x3_t(dpre_h.reshape(shp), ks[2 * i], packed)
         dy = (dx + dpre_y.astype(jnp.float32)).astype(dt)
     dx_ref[...] = dy.reshape(shp)
@@ -696,8 +704,10 @@ def _bb_vjp_bwd(packed, interpret, res, dy):
         return pl.BlockSpec((bt, h, w2, c), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def const():
-        return pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0),
+    n_prog = b // bt
+
+    def dk_spec():
+        return pl.BlockSpec((1, 3, 3, c, c), lambda i: (i, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -707,17 +717,19 @@ def _bb_vjp_bwd(packed, interpret, res, dy):
             vmem_limit_bytes=116 * 1024 * 1024)
     outs = pl.pallas_call(
         functools.partial(_bb_bwd_kernel, n_blocks=n_blocks, packed=packed),
-        grid=(b // bt,),
+        grid=(n_prog,),
         in_specs=[tile(), tile()] + [w_spec] * (2 * n_blocks),
-        out_specs=(tile(),) + tuple(const() for _ in range(2 * n_blocks)),
+        out_specs=(tile(),) + tuple(dk_spec()
+                                    for _ in range(2 * n_blocks)),
         out_shape=(jax.ShapeDtypeStruct((b, h, w2, c), dt),)
-        + tuple(jax.ShapeDtypeStruct((3, 3, c, c), jnp.float32)
+        + tuple(jax.ShapeDtypeStruct((n_prog, 3, 3, c, c), jnp.float32)
                 for _ in range(2 * n_blocks)),
         interpret=interpret,
         **kwargs,
     )(xp, dy, *ks)
     dx = outs[0]
-    dks = tuple(g.astype(k.dtype) for g, k in zip(outs[1:], ks))
+    dks = tuple(g.sum(axis=0).astype(k.dtype)
+                for g, k in zip(outs[1:], ks))
     return dx, dks
 
 
