@@ -140,3 +140,43 @@ def test_servebench_tool_smoke():
     out = json.loads(line)
     assert out["metric"] == "serving_artifact_interp_fps"
     assert out["value"] > 0 and out["artifact_mb"] > 0
+
+
+def test_export_rollout_artifact(tmp_path):
+    """export_rollout: the whole N-frame cycgen window (argmax->one-hot
+    feedback scan, reference mini_test InterTrainer.py:786-856) as ONE
+    artifact; loading reproduces the step-by-step live composition."""
+    cfg = _cfg()
+    model = registry.build_model(cfg)
+    rng = np.random.RandomState(1)
+    rgb = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 6)), jnp.float32)
+    seg_ids = jnp.asarray(rng.randint(0, 20, (B, H, W)), jnp.uint8)
+    seg0 = jnp.concatenate([jax.nn.one_hot(seg_ids, 20)] * 2, axis=-1)
+    variables = jax.jit(model.init, static_argnames=["train"])(
+        jax.random.PRNGKey(0), rgb, seg0, train=False)
+
+    steps = 3
+    path = export_lib.export_rollout(
+        cfg, variables, str(tmp_path / "roll.stablehlo"), steps=steps,
+        model=model)
+    served = export_lib.load_exported(path)
+    frames, ids = served(rgb, seg_ids)
+    assert frames.shape == (steps, B, H, W, 3)
+    assert ids.shape == (steps, B, H, W) and ids.dtype == jnp.uint8
+
+    # live composition oracle
+    cur_rgb, cur_ids = rgb, seg_ids
+    for t in range(steps):
+        oh = jax.nn.one_hot(cur_ids, 20, dtype=cur_rgb.dtype)
+        cur_seg = jnp.concatenate([oh, oh], axis=-1)
+        out_rgb, out_seg = model.apply(variables, cur_rgb, cur_seg,
+                                       train=False)
+        nxt_ids = jnp.argmax(out_seg, -1).astype(jnp.uint8)
+        np.testing.assert_allclose(np.asarray(frames[t]),
+                                   np.asarray(out_rgb),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ids[t]),
+                                      np.asarray(nxt_ids))
+        cur_rgb = jnp.concatenate([out_rgb, out_rgb],
+                                  axis=-1).astype(cur_rgb.dtype)
+        cur_ids = nxt_ids
