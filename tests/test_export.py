@@ -133,7 +133,8 @@ def test_servebench_tool_smoke():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "tools_servebench.py"),
-         "--bs", "1", "--hw", "16,32", "--iters", "2"],
+         "--mode", "throughput", "--bs", "1", "--hw", "16,32",
+         "--iters", "2"],
         capture_output=True, text=True, timeout=900, cwd=repo)
     assert res.returncode == 0, res.stderr[-2000:]
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]

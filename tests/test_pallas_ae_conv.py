@@ -86,6 +86,7 @@ def test_basicblock_ae_composition(monkeypatch):
     ref = blk.apply(v, xp)
 
     import jax as _jax
+    monkeypatch.setenv("DVIE_TRAINCHAIN", "0")  # chain routes off (route-pin)
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("DVIE_AE_CONV", "1")
     monkeypatch.setenv("DVIE_AE_HWNC", "0")   # pin the NHWC route under test
@@ -168,6 +169,7 @@ def test_basicblock_hwnc_composition(monkeypatch):
     ref = blk.apply(v, xp)
 
     import jax as _jax
+    monkeypatch.setenv("DVIE_TRAINCHAIN", "0")  # chain routes off (route-pin)
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("DVIE_AE_HWNC", "1")
     out = blk.apply(v, xp)
@@ -197,6 +199,7 @@ def test_transition_hwnc_composition(monkeypatch):
     ref = tr.apply(v, [xp])
 
     import jax as _jax
+    monkeypatch.setenv("DVIE_TRAINCHAIN", "0")  # chain routes off (route-pin)
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("DVIE_AE_HWNC", "1")
     out = tr.apply(v, [xp])
@@ -269,6 +272,7 @@ def test_stem_ae_composition(monkeypatch):
     bb = _HRBackbone(dtype=jnp.float32)
 
     import jax as _jax
+    monkeypatch.setenv("DVIE_TRAINCHAIN", "0")  # chain routes off (route-pin)
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
     # keep the non-stem kernel routes fixed across the A/B
     monkeypatch.setenv("DVIE_AE_HWNC", "0")

@@ -121,6 +121,7 @@ def test_module_wiring_stage2_stage3(monkeypatch):
         pallas_ae_conv, "_impl_hwnc",
         lambda x, k, res, relu, f=2, interpret=False, bias=None: orig_hwnc(
             x, k, res, relu, f, True, bias))
+    monkeypatch.setenv("DVIE_TRAINCHAIN", "0")  # chain routes off (route-pin)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setenv("DVIE_FUSE0", "1")
     monkeypatch.setenv("DVIE_FUSED_BLOCK", "0")
@@ -196,6 +197,7 @@ def test_module_packed_out_contract_when_fuse0_unfittable(monkeypatch):
         pallas_ae_conv, "_impl_hwnc",
         lambda x, k, res, relu, f=2, interpret=False, bias=None: orig_hwnc(
             x, k, res, relu, f, True, bias))
+    monkeypatch.setenv("DVIE_TRAINCHAIN", "0")  # chain routes off (route-pin)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(hw, "pallas_enabled", lambda: True)
     monkeypatch.setenv("DVIE_FUSE0", "1")
@@ -260,6 +262,7 @@ def test_highres_large_packed_backbone(monkeypatch):
         pallas_chain, "_boundary_impl",
         lambda h2, x, k3p, kresp, k1np, interpret=False: of(
             h2, x, k3p, kresp, k1np, True))
+    monkeypatch.setenv("DVIE_TRAINCHAIN", "0")  # chain routes off (route-pin)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     rng = np.random.RandomState(9)
