@@ -23,9 +23,14 @@ Design (TPU-first, not a translation):
   are 9 shifted (m, C)@(C, O) dots with zero-fill SAME borders.
 - Forward kernels write ONLY the block output; h1/h2 never touch HBM.
 - Backward kernels RECOMPUTE h1/h2/pre-activations in VMEM from the
-  saved block input, then produce dx (bf16) and f32-accumulated weight
-  grads in one pass; weight-grad buffers use constant-index BlockSpecs
-  so they stay VMEM-resident across the batch grid and write back once.
+  saved block input, then produce dx (bf16) and f32 weight-grad
+  PARTIALS in one pass — one grid-indexed partial block per program,
+  summed by XLA outside.  (The first build accumulated into
+  constant-index blocks revisited across the grid; that form corrupted
+  an UNRELATED buffer in one bs32 composition while passing every
+  standalone check, and the partials form also measured faster —
+  docs/TRAINBENCH_r5.md "accumulator corruption episode".  The
+  revisited-accumulator pattern is banned from these kernels.)
 - Weights stream in as f32 (the master dtype) and are cast to the
   compute dtype in-kernel; weight grads come back f32 — same accuracy
   story as the r4 explicit head backward (ops/pallas_upshead.py).
