@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import math
 import time
 
 
@@ -202,13 +203,18 @@ def main():
     # the state is DONATED: rebind it from each call's output (the input
     # buffers are consumed, like the real runner's step-to-step handoff)
     state, last = loop(state, batch, jax.random.PRNGKey(7))
-    float(last)  # fence through the relay
+    # fence through the relay AND act as a corruption canary: the r5
+    # accumulator episode produced inf in ONE loss key while every perf
+    # number looked healthy (docs/TRAINBENCH_r5.md) — a non-finite loss
+    # here means the measured graph is computing garbage
+    assert math.isfinite(float(last)), (
+        f"non-finite loss_all={float(last)} in the measured train loop")
 
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
         state, last = loop(state, batch, jax.random.PRNGKey(7))
-        float(last)
+        assert math.isfinite(float(last))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     sps = args.iters / best
