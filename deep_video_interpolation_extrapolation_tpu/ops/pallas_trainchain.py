@@ -348,16 +348,11 @@ def fits(x: jnp.ndarray, f: int = 2, dtype=None) -> bool:
                          jnp.dtype(dtype or x.dtype).itemsize) > 0)
 
 
-def _bn_specs(bt, h, w2, shapes, const_shapes):
+def _tile_spec(bt, h, w2):
     def tile(c):
         return pl.BlockSpec((bt, h, w2, c), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-
-    def const(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
-                            memory_space=pltpu.VMEM)
-    return tile, const
+    return tile
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -375,7 +370,7 @@ def _bn_fwd_impl(xp, k1p, k2p, k3p, kresp, interpret):
     bt = _pick_bt(b, h, w2, ci, co, jnp.dtype(dt).itemsize)
     has_res = kresp is not None
     kres_in = kresp if has_res else jnp.zeros((ci, co), k3p.dtype)
-    tile, _ = _bn_specs(bt, h, w2, None, None)
+    tile = _tile_spec(bt, h, w2)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kwargs = {}
     if not interpret:
@@ -406,7 +401,7 @@ def _bn_vjp_bwd(interpret, res, dy):
     bt = _pick_bt(b, h, w2, ci, co, jnp.dtype(dt).itemsize)
     has_res = kresp is not None
     kres_in = kresp if has_res else jnp.zeros((ci, co), k3p.dtype)
-    tile, _const = _bn_specs(bt, h, w2, None, None)
+    tile = _tile_spec(bt, h, w2)
     n_prog = b // bt
 
     def part(shape):
@@ -504,7 +499,7 @@ def _stem_fwd_impl(xp, k1p, b1p, k2p, b2p, interpret):
     cp = k1p.shape[-1]
     dt = xp.dtype
     bt = _pick_bt(b, h, w2, ci, cp, jnp.dtype(dt).itemsize)
-    tile, _ = _bn_specs(bt, h, w2, None, None)
+    tile = _tile_spec(bt, h, w2)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kwargs = {}
     if not interpret:
@@ -532,7 +527,7 @@ def _stem_vjp_bwd(interpret, res, dy):
     cp = k1p.shape[-1]
     dt = xp.dtype
     bt = _pick_bt(b, h, w2, ci, cp, jnp.dtype(dt).itemsize)
-    tile, _const = _bn_specs(bt, h, w2, None, None)
+    tile = _tile_spec(bt, h, w2)
     n_prog = b // bt
 
     def part(shape):

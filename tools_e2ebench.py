@@ -42,8 +42,7 @@ _LOG_LINE = re.compile(
     r"comp: ([0-9.]+)s")
 
 
-def run(steps: int, bs: int, nw: int, disp: int, keep: bool,
-        out_path: str):
+def run(steps: int, bs: int, nw: int, disp: int, keep: bool):
     import tools_smoke_e2e as smoke
 
     root = tempfile.mkdtemp(prefix="dvie_e2e_")
@@ -107,7 +106,7 @@ def main():
     ap.add_argument("--out", default="docs/E2EBENCH_r5.json")
     args = ap.parse_args()
 
-    r = run(args.steps, args.bs, args.nw, args.disp, args.keep, args.out)
+    r = run(args.steps, args.bs, args.nw, args.disp, args.keep)
     rows = r["rows"]
     warm_blocks = max(1, args.warm_steps // args.disp)
     steady = rows[warm_blocks:]
