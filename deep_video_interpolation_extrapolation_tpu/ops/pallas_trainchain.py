@@ -331,6 +331,26 @@ def _pick_bt(batch: int, h: int, w2: int, ci: int, co: int,
     return 0
 
 
+def _pick_bt_fwd(batch: int, h: int, w2: int, ci: int, co: int,
+                 esz: int = 2) -> int:
+    """Forward-kernel batch tile: only x/y stream and the interiors are
+    transient, so the tile can be several times the backward's (bigger
+    M per dot).  Same conservative ~2.8x-headroom budgeting."""
+    env = os.environ.get("DVIE_TRAINCHAIN_BT_FWD")
+    if env and int(env) > 0 and batch % int(env) == 0:
+        return int(env)   # authoritative A/B override (compiler OOMs loudly)
+    budget = 40 * 2**20
+    plane = h * w2 * esz
+    for bt in (8, 4, 2, 1):
+        if batch % bt:
+            continue
+        streams = 2 * bt * plane * (ci + co)
+        transients = bt * plane * (2 * 128 * esz + co * 4)
+        if streams + transients < budget:
+            return bt
+    return 0
+
+
 def fits(x: jnp.ndarray, f: int = 2, dtype=None) -> bool:
     """Eligibility for the packed train-chain kernels: packed plane per
     batch element must fit VMEM (true at 128x128; false at 512x1024,
@@ -367,7 +387,8 @@ def _bn_fwd_impl(xp, k1p, k2p, k3p, kresp, interpret):
     b, h, w2, ci = xp.shape
     co = k3p.shape[-1]
     dt = xp.dtype
-    bt = _pick_bt(b, h, w2, ci, co, jnp.dtype(dt).itemsize)
+    bt = (_pick_bt_fwd(b, h, w2, ci, co, jnp.dtype(dt).itemsize)
+          or _pick_bt(b, h, w2, ci, co, jnp.dtype(dt).itemsize))
     has_res = kresp is not None
     kres_in = kresp if has_res else jnp.zeros((ci, co), k3p.dtype)
     tile = _tile_spec(bt, h, w2)
@@ -498,7 +519,8 @@ def _stem_fwd_impl(xp, k1p, b1p, k2p, b2p, interpret):
     b, h, w2, ci = xp.shape
     cp = k1p.shape[-1]
     dt = xp.dtype
-    bt = _pick_bt(b, h, w2, ci, cp, jnp.dtype(dt).itemsize)
+    bt = (_pick_bt_fwd(b, h, w2, ci, cp, jnp.dtype(dt).itemsize)
+          or _pick_bt(b, h, w2, ci, cp, jnp.dtype(dt).itemsize))
     tile = _tile_spec(bt, h, w2)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     kwargs = {}
@@ -667,7 +689,8 @@ def _bb_fwd_impl(xp, ks, packed, interpret):
     b, h, w2, c = xp.shape
     n_blocks = len(ks) // 2
     dt = xp.dtype
-    bt = _bb_pick_bt(b, h, w2, c, n_blocks, jnp.dtype(dt).itemsize)
+    bt = (_pick_bt_fwd(b, h, w2, c, c, jnp.dtype(dt).itemsize)
+          or _bb_pick_bt(b, h, w2, c, n_blocks, jnp.dtype(dt).itemsize))
 
     def tile():
         return pl.BlockSpec((bt, h, w2, c), lambda i: (i, 0, 0, 0),
