@@ -83,9 +83,15 @@ constexpr uint64_t kMaxPixels = 64ull * 1024 * 1024;  // 64 MPix
 // setjmp body: every object mutated after setjmp lives in the CALLER's
 // frame (px, rows are references) or is trivially destructible (r), so
 // a png_longjmp cannot unwind through indeterminate C++ autos.
+// ``y_limit``: decode only rows [0, y_limit) and stop — PNG rows are a
+// sequential zlib stream with per-row filters, so rows ABOVE a crop must
+// be inflated anyway, but everything BELOW its last row can be skipped
+// (at the 128-row crops from 512-row frames this skips ~44% of the
+// inflate work on average).  0 = full image.  Partial reads skip
+// png_read_end (it only parses trailing chunks).
 int decode_with_rows(const uint8_t* buf, size_t len, int want,
                      std::vector<uint8_t>& px, std::vector<png_bytep>& rows,
-                     uint32_t* oh, uint32_t* ow) {
+                     uint32_t* oh, uint32_t* ow, uint32_t y_limit = 0) {
   if (len < 8 || png_sig_cmp(buf, 0, 8)) return 1;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, quiet_error_fn,
@@ -120,11 +126,17 @@ int decode_with_rows(const uint8_t* buf, size_t len, int want,
     png_destroy_read_struct(&png, &info, nullptr);
     return 2;
   }
-  px.resize(static_cast<size_t>(h) * rowbytes);
-  rows.resize(h);
-  for (uint32_t y = 0; y < h; ++y) rows[y] = px.data() + y * rowbytes;
-  png_read_image(png, rows.data());
-  png_read_end(png, nullptr);
+  const uint32_t y_lim = (y_limit == 0 || y_limit > h) ? h : y_limit;
+  px.resize(static_cast<size_t>(y_lim) * rowbytes);
+  rows.resize(y_lim);
+  for (uint32_t y = 0; y < y_lim; ++y) rows[y] = px.data() + y * rowbytes;
+  if (y_lim == h) {
+    png_read_image(png, rows.data());
+    png_read_end(png, nullptr);
+  } else {
+    for (uint32_t y = 0; y < y_lim; ++y)
+      png_read_row(png, rows[y], nullptr);
+  }
   png_destroy_read_struct(&png, &info, nullptr);
   *oh = h;
   *ow = w;
@@ -136,9 +148,10 @@ int decode_with_rows(const uint8_t* buf, size_t len, int want,
 // PIL's convert("RGB")/convert("L") maps identically keeps the native
 // path bit-exact; everything else is punted to Python (code 2).
 int decode_exact(const uint8_t* buf, size_t len, int want,
-                 std::vector<uint8_t>& px, uint32_t* oh, uint32_t* ow) {
+                 std::vector<uint8_t>& px, uint32_t* oh, uint32_t* ow,
+                 uint32_t y_limit = 0) {
   std::vector<png_bytep> rows;  // owned outside the setjmp frame
-  return decode_with_rows(buf, len, want, px, rows, oh, ow);
+  return decode_with_rows(buf, len, want, px, rows, oh, ow, y_limit);
 }
 
 inline int check_crop(uint32_t H, uint32_t W, int32_t y0, int32_t x0,
@@ -194,7 +207,11 @@ int dvie_decode_rgb_norm(const uint8_t* buf, size_t len, float* out,
                          int32_t flip, int32_t mode) try {
   std::vector<uint8_t> px;
   uint32_t H = 0, W = 0;
-  int rc = decode_exact(buf, len, 3, px, &H, &W);
+  // crop-bounded: rows past y0+ch never inflate (the crop is validated
+  // after the header is known; a bad crop just decoded a prefix)
+  const uint32_t y_lim =
+      (y0 >= 0 && ch > 0) ? static_cast<uint32_t>(y0) + ch : 0;
+  int rc = decode_exact(buf, len, 3, px, &H, &W, y_lim);
   if (rc) return rc;
   rc = check_crop(H, W, y0, x0, ch, cw);
   if (rc) return rc;
@@ -241,7 +258,9 @@ int dvie_decode_seg_onehot(const uint8_t* buf, size_t len, float* out,
   if (n_classes <= 0 || n_classes > 4096) return 4;
   std::vector<uint8_t> px;
   uint32_t H = 0, W = 0;
-  int rc = decode_exact(buf, len, 1, px, &H, &W);
+  const uint32_t y_lim =
+      (y0 >= 0 && ch > 0) ? static_cast<uint32_t>(y0) + ch : 0;
+  int rc = decode_exact(buf, len, 1, px, &H, &W, y_lim);
   if (rc) return rc;
   rc = check_crop(H, W, y0, x0, ch, cw);
   if (rc) return rc;
